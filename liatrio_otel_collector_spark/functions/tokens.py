@@ -1,0 +1,131 @@
+"""The vectorized token-parse stage (the pipeline's "grok" analog).
+
+The reference promotes parsed log-body fields to attributes with OTTL
+(/root/reference/config/config.yaml:80-103: ParseJSON + set(attributes...)).
+Our input is a pre-tokenized sequence, so the parse scans the token stream
+for typed marker tokens and promotes them to attribute columns:
+
+    severity marker: 10  <= t < 15   -> {debug,info,warn,error,fatal}
+    resource marker: 100 <= t < 120  -> "svc-<t-100>"
+    scope marker:    200 <= t < 208  -> "scope-<t-200>"
+
+Two implementations with identical semantics ("first marker in stream wins"):
+
+- :func:`parse_tokens_udf` — a pandas UDF over Arrow batches (the north-rule
+  input_hint mandates vectorized pandas/Arrow UDFs, no per-row Python).  The
+  inner loop is pure NumPy over the flattened token buffer: concatenate +
+  segment-reduceat, no Python-level per-row work.
+- :func:`parse_tokens_expr` — pure Catalyst higher-order functions
+  (filter/element_at), used for the oracle-parity queries and available as a
+  whole-stage-codegen fast path.
+
+Both are deterministic pure functions of ``tokens``, so the choice is a
+physical-plan decision, not a semantic one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+SEVERITIES = np.array(["debug", "info", "warn", "error", "fatal"], dtype=object)
+
+# explicit StructType (a DDL string would require an active session at import)
+_PARSE_SCHEMA = StructType(
+    [
+        StructField("severity", StringType()),
+        StructField("resource", StringType()),
+        StructField("scope", StringType()),
+    ]
+)
+
+
+def _make_parse_tokens_udf():
+    """Factory returning the parse pandas UDF.
+
+    Everything the worker-side function touches is defined INSIDE this
+    factory so cloudpickle serializes it **by value**: the UDF works on
+    executors that cannot import this package (driver harnesses running from
+    another cwd, clusters without --py-files).  Module-level functions would
+    pickle by reference and raise ModuleNotFoundError on such workers.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    severities = _np.array(["debug", "info", "warn", "error", "fatal"], dtype=object)
+
+    # annotations reference module-level pd: type-hint inference runs on the
+    # driver against module globals; the body uses factory-local _np/_pd so
+    # the pickled closure stays self-contained.
+    def parse(tokens: pd.Series) -> pd.DataFrame:
+        n = len(tokens)
+        if n == 0:
+            return _pd.DataFrame({"severity": [], "resource": [], "scope": []})
+        arrs = tokens.to_numpy()
+        lens = _np.fromiter((len(a) for a in arrs), dtype=_np.int64, count=n)
+        flat = (
+            _np.concatenate(arrs).astype(_np.int64)
+            if lens.sum()
+            else _np.empty(0, dtype=_np.int64)
+        )
+        offsets = _np.zeros(n + 1, dtype=_np.int64)
+        _np.cumsum(lens, out=offsets[1:])
+
+        def first_in_range(lo: int, hi: int) -> _np.ndarray:
+            # Per-segment index of the first flat value in [lo, hi); -1 if
+            # none.  minimum.reduceat over a sentinel-masked index vector —
+            # pure NumPy, no per-row Python.
+            if flat.size == 0:
+                return _np.full(n, -1, dtype=_np.int64)
+            sentinel = flat.size
+            idx = _np.where(
+                (flat >= lo) & (flat < hi),
+                _np.arange(flat.size, dtype=_np.int64),
+                sentinel,
+            )
+            starts = _np.minimum(offsets[:-1], flat.size - 1)
+            firsts = _np.minimum.reduceat(idx, starts)
+            # empty segments read the next segment's reduction — mask them,
+            # and mask "no match" sentinels
+            valid = (offsets[1:] > offsets[:-1]) & (firsts < offsets[1:])
+            return _np.where(valid, firsts, -1)
+
+        def pick(lo: int, hi: int, fmt) -> _np.ndarray:
+            first = first_in_range(lo, hi)
+            out = _np.full(n, None, dtype=object)
+            hit = first >= 0
+            if hit.any():
+                out[hit] = fmt(flat[first[hit]])
+            return out
+
+        sev = pick(10, 15, lambda v: severities[v - 10])
+        res = pick(
+            100, 120, lambda v: _np.char.add("svc-", (v - 100).astype(str)).astype(object)
+        )
+        scp = pick(
+            200, 208, lambda v: _np.char.add("scope-", (v - 200).astype(str)).astype(object)
+        )
+        return _pd.DataFrame({"severity": sev, "resource": res, "scope": scp})
+
+    return pandas_udf(_PARSE_SCHEMA)(parse)
+
+
+parse_tokens_udf = _make_parse_tokens_udf()
+
+
+def parse_tokens_expr(tokens: Column | str = "tokens") -> Column:
+    """Catalyst-native equivalent of :func:`parse_tokens_udf` (struct col)."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    sev_tok = F.element_at(F.filter(t, lambda x: (x >= 10) & (x < 15)), 1)
+    res_tok = F.element_at(F.filter(t, lambda x: (x >= 100) & (x < 120)), 1)
+    scp_tok = F.element_at(F.filter(t, lambda x: (x >= 200) & (x < 208)), 1)
+    severities = F.array(*[F.lit(s) for s in SEVERITIES.tolist()])
+    return F.struct(
+        F.element_at(severities, sev_tok - 9).alias("severity"),
+        F.concat(F.lit("svc-"), (res_tok - 100).cast("string")).alias("resource"),
+        F.concat(F.lit("scope-"), (scp_tok - 200).cast("string")).alias("scope"),
+    )

@@ -1,0 +1,164 @@
+"""The flagship DAG: parse → enrich → route → aggregate, multi-sink fan-out.
+
+Re-expresses the reference's pipeline topology
+(/root/reference/config/config.yaml:117-136):
+
+    logs:    receiver → [transform/body, filter, transform, gitlab-enrich] → sink
+    traces:  receiver → [] → sink
+    metrics: receivers (fan-in) → [] → sinks (fan-out)
+
+as one Spark batch DAG over the tokenized-sequence table:
+
+    sequences ──parse(pandas UDF)──► parsed ──broadcast enrich──► enriched
+        enriched ──filter severity≥warn────────────► logs_sink   (rows, tokens intact)
+        enriched ──filter completed-scope + ids────► traces_sink (rows, tokens intact)
+        enriched ──groupBy rollups─────────────────► metrics_sink (aggregates)
+
+Scale notes (the part that matters at 10^12 rows):
+- the input is **salt-repartitioned at the source** on (source, salt) — the
+  `source` column is deliberately skewed ~50% to one value; salting spreads a
+  hot key over SALT_BUCKETS reducers (BASELINE-mandated explicit skew
+  handling; AQE skew-join is also on as the runtime backstop).
+- the enrich dim is tiny (20 rows) ⇒ explicit broadcast() hint: no shuffle
+  on the fact side for the join.
+- the fan-out persists the enriched frame once and feeds all three sinks
+  (the reference's multi-exporter fan-out K3, config.yaml:124).
+- aggregates are plain groupBy — Spark's partial (map-side) aggregation is
+  the analog of the reference's mutex-merged per-goroutine maps
+  (github_scraper.go:105-155) and makes the skewed count safe; the salted
+  repartition above already bounds per-task input.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokens import parse_tokens_expr, parse_tokens_udf
+from ..functions.ids import span_id, trace_id
+from ..sources.sequences import enrich_dim, sequences
+from .lineage import lineage_manifest
+
+SALT_BUCKETS = 16
+
+
+@dataclass
+class PipelineConfig:
+    """Enabled-sink gating — the analog of the reference's per-metric on/off
+    switches (azuredevops_scraper.go:114-127): disabled branches are never
+    built, so Catalyst never plans them."""
+
+    use_udf_parse: bool = True
+    sinks: tuple[str, ...] = ("logs", "traces", "metrics")
+    salt_buckets: int = SALT_BUCKETS
+    output_dir: str | None = None
+    sink_format: str = field(default_factory=lambda: os.environ.get("SPARK_GRAFT_SINK_FORMAT", "parquet"))
+
+
+def parse_stage(df: DataFrame, use_udf: bool = True) -> DataFrame:
+    """Extract severity/resource/scope attributes from the token stream."""
+    parsed = parse_tokens_udf(F.col("tokens")) if use_udf else parse_tokens_expr("tokens")
+    return df.withColumn("_p", parsed).select(
+        "*", F.col("_p.severity").alias("severity"),
+        F.col("_p.resource").alias("resource"),
+        F.col("_p.scope").alias("scope"),
+    ).drop("_p")
+
+
+def enrich_stage(df: DataFrame, dim: DataFrame) -> DataFrame:
+    """Broadcast-hash enrich (J1: the gitlabprocessor lookup,
+    processor/gitlabprocessor/processor.go:32-69) + constant resource
+    stamping (J6: github_scraper.go:256-262)."""
+    return df.join(F.broadcast(dim), "resource", "left").withColumn(
+        "collector_name", F.lit("liatrio-otel-spark")
+    )
+
+
+def route_stage(enriched: DataFrame, cfg: PipelineConfig) -> dict[str, DataFrame]:
+    """Fan rows out to per-signal sinks. Tokens pass through UNTOUCHED on the
+    row sinks — the per-row token-array-equality invariant."""
+    out: dict[str, DataFrame] = {}
+    if "logs" in cfg.sinks:
+        # F8 analog: the OTTL filter keeps only event-bearing records
+        out["logs"] = enriched.filter(F.col("severity").isin("warn", "error", "fatal"))
+    if "traces" in cfg.sinks:
+        # F4 analog: completed-only gate; webhook source has no trace context
+        tr = enriched.filter(
+            F.col("scope").isin("scope-0", "scope-1", "scope-2")
+            & (F.col("source") != "webhook")
+        )
+        out["traces"] = tr.withColumn(
+            "trace_id", trace_id("doc_id", "source")
+        ).withColumn("span_id", span_id("doc_id", "scope"))
+    return out
+
+
+def aggregate_stage(enriched: DataFrame, routed: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Per-sink groupBy rollups (the githubreceiver metric rollups, SURVEY
+    §2.4).  All builtin hash aggregates: map-side partial → shuffle → final."""
+    aggs: dict[str, DataFrame] = {}
+    aggs["metrics"] = (
+        enriched.groupBy("source", "severity")
+        .agg(F.count(F.lit(1)).alias("seq_count"), F.sum("n_tok").alias("tok_count"))
+    )
+    if "logs" in routed:
+        aggs["logs_agg"] = (
+            routed["logs"].groupBy("team", "severity").agg(F.count(F.lit(1)).alias("log_count"))
+        )
+    if "traces" in routed:
+        aggs["traces_agg"] = (
+            routed["traces"].groupBy("scope", "tier").agg(F.count(F.lit(1)).alias("span_count"))
+        )
+    return aggs
+
+
+def build_pipeline(
+    spark: SparkSession,
+    n_rows: int,
+    cfg: PipelineConfig | None = None,
+    source_df: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Assemble the full lazy DAG; returns {sink_name: DataFrame}."""
+    cfg = cfg or PipelineConfig()
+    raw = source_df if source_df is not None else sequences(spark, n_rows)
+    # explicit salted repartition on the skewed source key
+    salted = raw.repartition(
+        F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))
+    )
+    parsed = parse_stage(salted, use_udf=cfg.use_udf_parse)
+    enriched = enrich_stage(parsed, enrich_dim(spark))
+    routed = route_stage(enriched, cfg)
+    aggs = aggregate_stage(enriched, routed)
+    return {**routed, **aggs}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    n_rows: int,
+    cfg: PipelineConfig | None = None,
+    batch_id: int = 0,
+    source_df: DataFrame | None = None,
+) -> dict[str, int]:
+    """Materialize all sinks (fan-out over one persisted upstream) and write
+    per-partition lineage manifests.  Returns row counts per sink."""
+    cfg = cfg or PipelineConfig()
+    sinks = build_pipeline(spark, n_rows, cfg, source_df=source_df)
+    counts: dict[str, int] = {}
+    for name, df in sinks.items():
+        if cfg.output_dir:
+            path = os.path.join(cfg.output_dir, name)
+            writer = df.write.mode("overwrite").format(cfg.sink_format)
+            if "source" in df.columns and name in ("logs", "traces"):
+                writer = writer.partitionBy("source")
+            writer.save(path)
+            written = spark.read.format(cfg.sink_format).load(path)
+            counts[name] = written.count()
+            lineage_manifest(df, name, batch_id).write.mode("overwrite").format(
+                cfg.sink_format
+            ).save(os.path.join(cfg.output_dir, "_lineage", name))
+        else:
+            counts[name] = df.count()
+    return counts

@@ -1,0 +1,114 @@
+"""Unit tests for scalar kernels (SURVEY §2.8), mirroring the reference's
+table-driven helper tests (githubscraper/helpers_test.go:316-397,
+trace_event_handling_test.go:160-216, azure_devops_types_test.go)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from liatrio_otel_collector_spark.functions import (
+    age_seconds,
+    api_to_html_url,
+    format_service_name,
+    normalize_deploy_status,
+    normalize_severity,
+    parse_multi_format_ts,
+    release_to_service,
+    span_id,
+    split_tags,
+    status_to_span_code,
+    strip_refs_heads,
+    trace_id,
+    workflow_path_to_name,
+)
+
+
+def _one(spark, col, **kwargs):
+    df = spark.createDataFrame([kwargs]) if kwargs else spark.range(1)
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_trace_span_ids(spark):
+    digest = hashlib.sha256(b"run-1|2").hexdigest()
+    assert _one(spark, trace_id(F.lit("run-1"), F.lit(2))) == digest[:32]
+    assert _one(spark, span_id(F.lit("run-1"), F.lit(2))) == digest[16:32]
+
+
+def test_severity_normalization(spark):
+    cases = {
+        "CRITICAL": "critical",
+        "critical": "critical",
+        "MODERATE": "medium",
+        "Medium": "medium",
+        "HIGH": "high",
+        "low": "low",
+        "bogus": "unknown",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, normalize_severity(F.lit(raw))) == want, raw
+
+
+def test_deploy_status_normalization(spark):
+    cases = {
+        " Succeeded ": "succeeded",
+        "partiallySucceeded": "failed",
+        "FAILED": "failed",
+        "notDeployed": "failed",
+        "inProgress": "inprogress",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, normalize_deploy_status(F.lit(raw))) == want, raw
+
+
+def test_status_to_span_code(spark):
+    assert _one(spark, status_to_span_code(F.lit("success"))) == "STATUS_CODE_OK"
+    assert _one(spark, status_to_span_code(F.lit("FAILURE"))) == "STATUS_CODE_ERROR"
+    assert _one(spark, status_to_span_code(F.lit("skipped"))) == "STATUS_CODE_UNSET"
+
+
+def test_string_kernels(spark):
+    assert _one(spark, format_service_name(F.lit("My_Repo_Name"))) == "my-repo-name"
+    assert (
+        _one(spark, api_to_html_url(F.lit("https://api.github.com/repos/o/r/runs/1")))
+        == "https://github.com/o/r/runs/1"
+    )
+    assert _one(spark, strip_refs_heads(F.lit("refs/heads/main"))) == "main"
+    assert _one(spark, strip_refs_heads(F.lit("main"))) == "main"
+    assert _one(spark, release_to_service(F.lit("Checkout build-42"))) == "Checkout"
+    assert _one(spark, release_to_service(F.lit(""))) == "unknown"
+    assert (
+        _one(spark, workflow_path_to_name(F.lit(".github/workflows/My_CI.yml@refs/heads/main")))
+        == "my_ci"
+    )
+
+
+def test_split_tags(spark):
+    got = _one(spark, split_tags(F.lit(" alpha ; beta;; gamma ;")))
+    assert got == ["alpha", "beta", "gamma"]
+
+
+def test_multi_format_timestamps(spark):
+    cases = {
+        "2024-03-01T12:00:00Z": "2024-03-01 12:00:00",
+        "2024-03-01T12:00:00.1234567Z": "2024-03-01 12:00:00",
+        "2024-03-01T12:00:00": "2024-03-01 12:00:00",
+        "2024-03-01 12:00:00": "2024-03-01 12:00:00",
+        "0001-01-01T00:00:00": None,
+        "garbage": None,
+    }
+    for raw, want in cases.items():
+        got = _one(spark, F.date_format(parse_multi_format_ts(F.lit(raw)), "yyyy-MM-dd HH:mm:ss"))
+        assert got == want, raw
+
+
+def test_age_seconds(spark):
+    got = _one(
+        spark,
+        age_seconds(
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+            F.to_timestamp(F.lit("2024-01-01 01:30:00")),
+        ),
+    )
+    assert got == 5400

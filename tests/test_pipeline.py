@@ -1,0 +1,92 @@
+"""Flagship-pipeline tests: routing semantics, token-array-equality
+invariant, lineage manifests, parse-path parity (UDF vs Catalyst expr)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from liatrio_otel_collector_spark.plans.pipeline import (
+    PipelineConfig,
+    build_pipeline,
+    run_pipeline,
+)
+from liatrio_otel_collector_spark.plans.lineage import lineage_manifest
+from liatrio_otel_collector_spark.sources.sequences import sequences
+
+N = 4000
+
+
+def test_routing_counts(spark):
+    sinks = build_pipeline(spark, N)
+    # logs = severity in (warn, error, fatal); severity = id%5 in {2,3,4}
+    assert sinks["logs"].count() == sum(1 for i in range(N) if i % 5 in (2, 3, 4))
+    # traces = scope in scope-0..2 (id%8 in 0..2) and source != webhook (id%10 != 9)
+    assert sinks["traces"].count() == sum(
+        1 for i in range(N) if i % 8 in (0, 1, 2) and i % 10 != 9
+    )
+    # metrics rollup total == input rows
+    total = sinks["metrics"].agg(F.sum("seq_count")).collect()[0][0]
+    assert total == N
+
+
+def test_token_array_equality_invariant(spark):
+    """Routed rows must carry the input token arrays byte-for-byte."""
+    src = sequences(spark, N)
+    sinks = build_pipeline(spark, N)
+    for name in ("logs", "traces"):
+        routed = sinks[name].select("doc_id", F.col("tokens").alias("routed_tokens"))
+        joined = routed.join(src.select("doc_id", "tokens"), "doc_id", "inner")
+        mismatches = joined.filter(F.col("routed_tokens") != F.col("tokens")).count()
+        assert mismatches == 0
+        assert joined.count() == routed.count()
+
+
+def test_parse_udf_vs_expr_parity(spark):
+    a = build_pipeline(spark, N, PipelineConfig(use_udf_parse=True))
+    b = build_pipeline(spark, N, PipelineConfig(use_udf_parse=False))
+    ra = sorted(map(tuple, a["metrics"].collect()))
+    rb = sorted(map(tuple, b["metrics"].collect()))
+    assert ra == rb
+
+
+def test_deterministic_ids(spark):
+    tr = build_pipeline(spark, 100)["traces"].select("doc_id", "trace_id", "span_id")
+    rows = {r["doc_id"]: (r["trace_id"], r["span_id"]) for r in tr.collect()}
+    import hashlib
+
+    for doc_id, (tid, sid) in list(rows.items())[:5]:
+        src = "github" if int(doc_id) % 10 < 5 else None
+        if src is None:
+            continue
+        digest = hashlib.sha256(f"{doc_id}|{src}".encode()).hexdigest()
+        assert tid == digest[:32]
+        scope = f"scope-{int(doc_id) % 8}"
+        sdigest = hashlib.sha256(f"{doc_id}|{scope}".encode()).hexdigest()
+        assert sid == sdigest[16:32]
+
+
+def test_lineage_manifest(spark):
+    src = sequences(spark, N).repartition(4)
+    m = lineage_manifest(src, "logs", batch_id=7).collect()
+    assert sum(r["row_count"] for r in m) == N
+    assert all(r["sink"] == "logs" and r["batch_id"] == 7 for r in m)
+    # checksum is partition-layout-independent in aggregate: recompute with
+    # a different partitioning and compare the XOR-fold of all partitions
+    m2 = lineage_manifest(src.repartition(9), "logs", batch_id=7).collect()
+    xor1 = 0
+    for r in m:
+        xor1 ^= r["token_checksum"]
+    xor2 = 0
+    for r in m2:
+        xor2 ^= r["token_checksum"]
+    assert xor1 == xor2
+
+
+def test_run_pipeline_writes_sinks(spark, tmp_path):
+    cfg = PipelineConfig(output_dir=str(tmp_path))
+    counts = run_pipeline(spark, 1000, cfg)
+    assert counts["logs"] == sum(1 for i in range(1000) if i % 5 in (2, 3, 4))
+    assert (tmp_path / "logs").exists()
+    assert (tmp_path / "_lineage" / "logs").exists()
+    lineage = spark.read.parquet(str(tmp_path / "_lineage" / "logs"))
+    assert lineage.agg(F.sum("row_count")).collect()[0][0] == counts["logs"]

@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship parse→enrich→route→aggregate pipeline over the
+  tokenized-sequence table at sf0.001 scale; returns the metrics rollup.
+- ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+  the training-data ops (dedup / similarity / text analysis), each a
+  DataFrame-API program over /root/testdata parquet.
+- ``oracle_sql()`` — independently written DuckDB SQL twins.
+
+Implementation lives in the package ``liatrio_otel_collector_spark``; this
+file only bootstraps sys.path (the driver may import it from any cwd) and
+ships the package to executors (pandas UDFs need it importable there).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+
+def _bootstrap(spark: SparkSession) -> None:
+    from liatrio_otel_collector_spark.session import ship_package
+
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped or local importable
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full pipeline at sf0.001 scale, metrics sink."""
+    _bootstrap(spark)
+    from liatrio_otel_collector_spark.plans.pipeline import build_pipeline
+
+    return build_pipeline(spark, n_rows=6000)["metrics"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _bootstrap(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from liatrio_otel_collector_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

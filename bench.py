@@ -1,0 +1,80 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints exactly ONE JSON line:
+
+  {"metric": "routed_sequences_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric mirrors BASELINE.json: end-to-end parse→enrich→route→
+aggregate throughput over the tokenized-sequence table (all sinks
+materialized), in sequences/sec.  Scaling-efficiency evidence (N vs 4N
+parallelism) is produced by scripts/scaling_bench.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "pl1_parse_route_aggregate",
+    "pl3_trace_ids",
+    "j1_broadcast_enrich_join",
+    "a3_change_count",
+    "a12_deployment_count",
+    "w1_unique_step_names",
+    "dd2_minhash_near_dups",
+    "sim1_brute_force_topk",
+    "ts2_quality_score",
+]
+
+
+def main() -> None:
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+    from liatrio_otel_collector_spark.plans.pipeline import run_pipeline
+    from liatrio_otel_collector_spark.session import get_spark
+    from liatrio_otel_collector_spark.sources.sequences import rows_for_sf
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    sf = float(sf_name[2:]) if sf_name.startswith("sf") else 0.1
+    n_rows = rows_for_sf(SF_DIR)
+
+    # warm the JVM/Python workers so the measured run is steady-state
+    run_pipeline(spark, 10_000)
+
+    t0 = time.time()
+    run_pipeline(spark, n_rows)
+    e2e = time.time() - t0
+    throughput = n_rows / e2e
+
+    per_query: dict[str, float] = {"pipeline_e2e": round(e2e, 3)}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "routed_sequences_per_sec",
+        "value": round(throughput, 1),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "n_rows": n_rows,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

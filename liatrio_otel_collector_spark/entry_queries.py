@@ -1,0 +1,986 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY §2),
+each with a DuckDB oracle twin.
+
+Spark side = DataFrame-API operator library over domain views;
+oracle side = independently hand-written DuckDB SQL over the same parquet
+views (the driver pre-registers region/nation/customer/supplier/part/orders/
+lineitem/events/documents/embeddings).
+
+Determinism contract shared by both sides (see sources/domain.py):
+pinned clock, floor() before every double→int, CAST(... AS BIGINT) around
+sums (DuckDB SUM(int) returns HUGEINT), exact-integer arithmetic before any
+division.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.strings import workflow_path_to_name
+from .functions.timeparse import parse_multi_format_ts
+from .operators import aggregates as A
+from .operators import dedup as DD
+from .operators import setops as U
+from .operators import similarity as SIM
+from .operators import textstats as TS
+from .operators import windows as W
+from .sources.domain import NOW, VIEW_BUILDERS, with_ctes
+from .sources.sequences import (
+    duckdb_enrich_dim_cte,
+    duckdb_sequences_cte,
+    enrich_dim,
+    rows_for_sf,
+    sequences,
+)
+from .sources.tables import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return VIEW_BUILDERS[name](t)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+_q(
+    "a1_repository_count",
+    with_ctes(
+        "repos",
+        body="SELECT CAST(count(*) AS BIGINT) AS repo_count FROM repos WHERE NOT archived",
+    ),
+)(lambda spark, sf: A.repository_count(_view(spark, sf, "repos")))
+
+_q(
+    "a2_ref_count",
+    with_ctes(
+        "branches",
+        body="SELECT repo_name, CAST(count(*) AS BIGINT) AS ref_count FROM branches GROUP BY repo_name",
+    ),
+)(lambda spark, sf: A.ref_count(_view(spark, sf, "branches")))
+
+_q(
+    "a3_change_count",
+    with_ctes(
+        "pull_requests",
+        body="SELECT repo_name, state, CAST(count(*) AS BIGINT) AS change_count "
+        "FROM pull_requests GROUP BY repo_name, state",
+    ),
+)(lambda spark, sf: A.change_count(_view(spark, sf, "pull_requests")))
+
+_q(
+    "a4_change_time_to_merge",
+    with_ctes(
+        "pull_requests",
+        body="SELECT repo_name, pr_id, date_diff('second', created_at, merged_at) AS time_to_merge_s "
+        "FROM pull_requests WHERE state = 'MERGED'",
+    ),
+)(lambda spark, sf: A.change_time_to_merge(_view(spark, sf, "pull_requests")))
+
+_q(
+    "a5_change_duration",
+    with_ctes(
+        "pull_requests",
+        body=f"SELECT repo_name, pr_id, date_diff('second', created_at, TIMESTAMP '{NOW}') AS duration_s "
+        "FROM pull_requests WHERE state = 'OPEN'",
+    ),
+)(lambda spark, sf: A.change_duration(_view(spark, sf, "pull_requests")))
+
+_q(
+    "a6_change_time_to_approval",
+    with_ctes(
+        "pull_requests",
+        body="SELECT repo_name, pr_id, date_diff('second', created_at, first_review_at) AS time_to_approval_s "
+        "FROM pull_requests WHERE state = 'OPEN' AND review_count > 0",
+    ),
+)(lambda spark, sf: A.change_time_to_approval(_view(spark, sf, "pull_requests")))
+
+_q(
+    "a7_ref_revisions_delta",
+    with_ctes(
+        "branches",
+        body="""
+SELECT repo_name, branch_name, 'ahead' AS direction, CAST(behind_by AS BIGINT) AS revisions
+FROM branches WHERE NOT is_default AND behind_by > 0
+UNION ALL
+SELECT repo_name, branch_name, 'behind' AS direction, CAST(ahead_by AS BIGINT) AS revisions
+FROM branches WHERE NOT is_default AND behind_by > 0
+""",
+    ),
+)(lambda spark, sf: A.ref_revisions_delta(_view(spark, sf, "branches")))
+
+_q(
+    "a8_ref_lines_delta",
+    with_ctes(
+        "commits",
+        body="""
+, sums AS (
+  SELECT repo_name, branch_name,
+         CAST(SUM(additions) AS BIGINT) AS added,
+         CAST(SUM(deletions) AS BIGINT) AS removed
+  FROM commits GROUP BY repo_name, branch_name
+)
+SELECT repo_name, branch_name, 'added' AS line_type, added AS lines FROM sums
+UNION ALL
+SELECT repo_name, branch_name, 'removed' AS line_type, removed AS lines FROM sums
+""",
+    ),
+)(lambda spark, sf: A.ref_lines_delta(_view(spark, sf, "commits")))
+
+_q(
+    "a9_ref_time",
+    with_ctes(
+        "commits",
+        body=f"SELECT repo_name, branch_name, "
+        f"date_diff('second', min(committed_date), TIMESTAMP '{NOW}') AS ref_age_s "
+        "FROM commits GROUP BY repo_name, branch_name",
+    ),
+)(lambda spark, sf: A.ref_time(_view(spark, sf, "commits")))
+
+_q(
+    "a10_contributor_count",
+    with_ctes(
+        "commits",
+        body="SELECT repo_name, CAST(count(DISTINCT author_id) AS BIGINT) AS contributor_count "
+        "FROM commits GROUP BY repo_name",
+    ),
+)(lambda spark, sf: A.contributor_count(_view(spark, sf, "commits")))
+
+_q(
+    "a11_cve_count",
+    with_ctes(
+        "cve_alerts",
+        body="""
+SELECT repo_name,
+       CASE upper(severity_raw)
+            WHEN 'CRITICAL' THEN 'critical' WHEN 'HIGH' THEN 'high'
+            WHEN 'MODERATE' THEN 'medium' WHEN 'MEDIUM' THEN 'medium'
+            WHEN 'LOW' THEN 'low' ELSE 'unknown' END AS severity,
+       CAST(count(*) AS BIGINT) AS cve_count
+FROM cve_alerts WHERE state = 'open'
+GROUP BY 1, 2
+""",
+    ),
+)(lambda spark, sf: A.cve_count(_view(spark, sf, "cve_alerts")))
+
+_DEPLOY_FINAL_SQL = """
+, fin AS (
+  SELECT *,
+         CASE WHEN lower(trim(status_raw)) = 'succeeded' THEN 'succeeded'
+              WHEN lower(trim(status_raw)) IN ('partiallysucceeded', 'failed', 'notdeployed') THEN 'failed'
+              ELSE lower(trim(status_raw)) END AS status,
+         COALESCE(NULLIF(split_part(release_name, ' ', 1), ''), 'unknown') AS service,
+         CASE WHEN started_on LIKE '0001-01-01%' THEN NULL
+              ELSE COALESCE(try_strptime(started_on, '%Y-%m-%dT%H:%M:%S'),
+                            try_strptime(started_on, '%Y-%m-%d %H:%M:%S'),
+                            try_strptime(started_on, '%Y-%m-%d')) END AS started_ts,
+         CASE WHEN completed_on LIKE '0001-01-01%' THEN NULL
+              ELSE COALESCE(try_strptime(completed_on, '%Y-%m-%dT%H:%M:%S'),
+                            try_strptime(completed_on, '%Y-%m-%d %H:%M:%S'),
+                            try_strptime(completed_on, '%Y-%m-%d')) END AS completed_ts
+  FROM deployments
+)
+, gated AS (SELECT * FROM fin WHERE status IN ('succeeded', 'failed'))
+"""
+
+_q(
+    "a12_deployment_count",
+    with_ctes(
+        "deployments",
+        body=_DEPLOY_FINAL_SQL
+        + "SELECT service, environment, status, CAST(count(*) AS BIGINT) AS deployment_count "
+        "FROM gated GROUP BY service, environment, status",
+    ),
+)(lambda spark, sf: A.deployment_count(_view(spark, sf, "deployments")))
+
+_q(
+    "a13_deployment_average_duration",
+    with_ctes(
+        "deployments",
+        body=_DEPLOY_FINAL_SQL
+        + """
+SELECT service, environment,
+       CAST(floor(SUM(date_diff('second', started_ts, completed_ts)) / count(*)) AS BIGINT)
+         AS avg_duration_s
+FROM gated WHERE status = 'succeeded' AND started_ts IS NOT NULL
+GROUP BY service, environment
+""",
+    ),
+)(lambda spark, sf: A.deployment_average_duration(_view(spark, sf, "deployments")))
+
+_q(
+    "a14_deployment_last_timestamp",
+    with_ctes(
+        "deployments",
+        body=_DEPLOY_FINAL_SQL
+        + "SELECT service, environment, status, "
+        "CAST(max(epoch(completed_ts)) AS BIGINT) AS last_deploy_epoch "
+        "FROM gated GROUP BY service, environment, status",
+    ),
+)(lambda spark, sf: A.deployment_last_timestamp(_view(spark, sf, "deployments")))
+
+_q(
+    "a15_work_item_count",
+    with_ctes(
+        "work_items",
+        body="SELECT wi_type, state, CAST(count(*) AS BIGINT) AS work_item_count "
+        "FROM work_items GROUP BY wi_type, state",
+    ),
+)(lambda spark, sf: A.work_item_count(_view(spark, sf, "work_items")))
+
+_q(
+    "a16_work_item_tag_count",
+    with_ctes(
+        "work_items",
+        body="""
+SELECT tag, wi_type, CAST(count(*) AS BIGINT) AS tag_count
+FROM (
+  SELECT wi_type, trim(t.u) AS tag
+  FROM work_items, unnest(string_split(tags, ';')) AS t(u)
+)
+WHERE tag IN ('alpha', 'beta', 'gamma')
+GROUP BY tag, wi_type
+""",
+    ),
+)(lambda spark, sf: A.work_item_tag_count(_view(spark, sf, "work_items")))
+
+_q(
+    "a17_work_item_cycle_time",
+    with_ctes(
+        "work_items",
+        body=f"""
+SELECT id, wi_type,
+       CASE WHEN closed_date IS NOT NULL
+            THEN date_diff('second', created_date, closed_date)
+            ELSE date_diff('second', created_date, TIMESTAMP '{NOW}') END AS cycle_time_s,
+       (closed_date IS NOT NULL) AS is_closed
+FROM work_items
+""",
+    ),
+)(lambda spark, sf: A.work_item_cycle_time(_view(spark, sf, "work_items")))
+
+_q(
+    "a24_code_coverage",
+    with_ctes(
+        "coverage",
+        body="""
+SELECT repo_name,
+       CASE WHEN CAST(SUM(total) AS BIGINT) = 0 THEN 0
+            ELSE CAST(floor(100 * CAST(SUM(covered) AS BIGINT) / CAST(SUM(total) AS BIGINT)) AS BIGINT)
+       END AS coverage_pct
+FROM coverage GROUP BY repo_name
+""",
+    ),
+)(lambda spark, sf: A.code_coverage(_view(spark, sf, "coverage")))
+
+_q(
+    "a18_catalog_component_counts",
+    with_ctes(
+        "ci_lines",
+        body=r"""
+, comp AS (
+  SELECT project_path,
+         regexp_extract(line, '^\s*-\s*component:\s*[^/]+/(.+)', 1) AS m
+  FROM ci_lines
+)
+SELECT split_part(m, '@', 1) AS component,
+       CAST(count(DISTINCT project_path) AS BIGINT) AS project_count,
+       CAST(count(*) AS BIGINT) AS usage_count
+FROM comp WHERE m <> ''
+GROUP BY 1
+""",
+    ),
+)(lambda spark, sf: A.catalog_component_counts(_view(spark, sf, "ci_lines")))
+
+_q(
+    "a21_terraform_module_consumers",
+    with_ctes(
+        "ci_lines",
+        body=r"""
+, mods AS (
+  SELECT project_path, regexp_extract(line, 'source\s*=\s*"([^"]+)"', 1) AS src
+  FROM ci_lines
+)
+SELECT split_part(src, '/', 3) AS module,
+       regexp_extract(src, '([^/]+)$', 1) AS system,
+       CAST(count(DISTINCT project_path) AS BIGINT) AS consumer_count
+FROM mods WHERE src <> ''
+GROUP BY 1, 2
+""",
+    ),
+)(lambda spark, sf: A.terraform_module_consumers(_view(spark, sf, "ci_lines")))
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+_q(
+    "w1_unique_step_names",
+    """
+SELECT event_id,
+       CASE WHEN rn > 1 THEN event_type || '-' || CAST(rn - 1 AS STRING)
+            ELSE event_type END AS unique_name
+FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+""",
+)(
+    lambda spark, sf: W.unique_step_names(
+        load_tables(spark, sf)["events"],
+        part_cols=("user_id",),
+        name_col="event_type",
+        order_cols=("ts", "event_id"),
+    ).select("event_id", "unique_name")
+)
+
+_q(
+    "w2_first_purchase_per_user",
+    """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS first_purchase_epoch
+FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+WHERE rn = 1
+""",
+)(
+    lambda spark, sf: W.first_event(
+        load_tables(spark, sf)["events"].filter(F.col("event_type") == "purchase"),
+        part_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("first_purchase_epoch"),
+    )
+)
+
+_q(
+    "w4_oldest_commit_per_branch",
+    with_ctes(
+        "commits",
+        body="""
+SELECT repo_name, branch_name, CAST(epoch(committed_date) AS BIGINT) AS committed_epoch,
+       additions, deletions
+FROM (
+  SELECT *, min(committed_date) OVER (PARTITION BY repo_name, branch_name) AS mn
+  FROM commits
+)
+WHERE committed_date = mn
+""",
+    ),
+)(
+    lambda spark, sf: W.oldest_commit(_view(spark, sf, "commits")).select(
+        "repo_name",
+        "branch_name",
+        F.unix_timestamp("committed_date").cast("bigint").alias("committed_epoch"),
+        "additions",
+        "deletions",
+    )
+)
+
+_q(
+    "w5_latest_event_per_user",
+    """
+SELECT user_id, CAST(floor(max(epoch(ts))) AS BIGINT) AS latest_epoch
+FROM events GROUP BY user_id
+""",
+)(
+    lambda spark, sf: W.latest_per_key(load_tables(spark, sf)["events"], ("user_id",), "ts").select(
+        "user_id", F.unix_timestamp("latest_ts").cast("bigint").alias("latest_epoch")
+    )
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 joins / enrichment
+# ---------------------------------------------------------------------------
+
+_q(
+    "j1_broadcast_enrich_join",
+    """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS item_count,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)(
+    lambda spark, sf: (
+        load_tables(spark, sf)["lineitem"]
+        .join(F.broadcast(load_tables(spark, sf)["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("item_count"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+)
+
+_q(
+    "j5_case_insensitive_dim_join",
+    with_ctes(
+        "work_items",
+        body="""
+SELECT d.rank_val, CAST(count(*) AS BIGINT) AS item_count
+FROM work_items w
+JOIN (VALUES ('new', 1), ('active', 2), ('resolved', 3), ('closed', 4)) AS d(state_lc, rank_val)
+  ON lower(trim(w.state)) = d.state_lc
+GROUP BY d.rank_val
+""",
+    ),
+)(
+    lambda spark, sf: (
+        _view(spark, sf, "work_items")
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [("new", 1), ("active", 2), ("resolved", 3), ("closed", 4)],
+                    "state_lc string, rank_val int",
+                )
+            ),
+            F.lower(F.trim(F.col("state"))) == F.col("state_lc"),
+        )
+        .groupBy("rank_val")
+        .agg(F.count(F.lit(1)).alias("item_count"))
+    )
+)
+
+_q(
+    "j7_service_name_precedence",
+    with_ctes(
+        "repos",
+        body="""
+SELECT repo_name,
+       lower(replace(COALESCE(CASE WHEN archived THEN 'Custom_Svc' END, repo_name), '_', '-'))
+         AS service_name
+FROM repos
+""",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "repos").select(
+        "repo_name",
+        F.lower(
+            F.regexp_replace(
+                F.coalesce(
+                    F.when(F.col("archived"), F.lit("Custom_Svc")), F.col("repo_name")
+                ),
+                "_",
+                "-",
+            )
+        ).alias("service_name"),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+_PR_CUTOFF = "2024-06-01 00:00:00"
+
+_q(
+    "u2_combined_pull_requests",
+    with_ctes(
+        "pull_requests",
+        body=f"""
+SELECT repo_name, state, CAST(count(*) AS BIGINT) AS pr_count FROM (
+  SELECT * FROM pull_requests WHERE state = 'OPEN'
+  UNION ALL
+  SELECT * FROM pull_requests WHERE state = 'MERGED' AND merged_at >= TIMESTAMP '{_PR_CUTOFF}'
+)
+GROUP BY repo_name, state
+""",
+    ),
+)(
+    lambda spark, sf: U.combined_pull_requests(_view(spark, sf, "pull_requests"), _PR_CUTOFF)
+    .groupBy("repo_name", "state")
+    .agg(F.count(F.lit(1)).alias("pr_count"))
+)
+
+_q(
+    "u3_receiver_fan_in",
+    with_ctes(
+        "repos",
+        "branches",
+        body="""
+SELECT vendor, CAST(count(*) AS BIGINT) AS row_count,
+       CAST(count(extra) AS BIGINT) AS with_extra
+FROM (
+  SELECT 'github' AS vendor, repo_name, org AS extra FROM repos
+  UNION ALL BY NAME
+  SELECT 'gitlab' AS vendor, repo_name, NULL AS extra FROM branches
+)
+GROUP BY vendor
+""",
+    ),
+)(
+    lambda spark, sf: U.fan_in(
+        _view(spark, sf, "repos").select(
+            F.lit("github").alias("vendor"), "repo_name", F.col("org").alias("extra")
+        ),
+        _view(spark, sf, "branches").select(F.lit("gitlab").alias("vendor"), "repo_name"),
+    )
+    .groupBy("vendor")
+    .agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count("extra").alias("with_extra"),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# §2.2 filters
+# ---------------------------------------------------------------------------
+
+_q(
+    "f1_stale_branch_filter",
+    with_ctes(
+        "branches",
+        body="SELECT repo_name, CAST(count(*) AS BIGINT) AS stale_branches "
+        "FROM branches WHERE NOT is_default AND behind_by > 0 GROUP BY repo_name",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "branches")
+    .filter(~F.col("is_default") & (F.col("behind_by") > 0))
+    .groupBy("repo_name")
+    .agg(F.count(F.lit(1)).alias("stale_branches"))
+)
+
+_q(
+    "f8_regex_event_filter",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS event_count
+FROM events WHERE regexp_matches(event_type, '^(purchase|signup)$')
+GROUP BY event_type
+""",
+)(
+    lambda spark, sf: load_tables(spark, sf)["events"]
+    .filter(F.col("event_type").rlike("^(purchase|signup)$"))
+    .groupBy("event_type")
+    .agg(F.count(F.lit(1)).alias("event_count"))
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar kernels
+# ---------------------------------------------------------------------------
+
+_q(
+    "x4_deterministic_ids",
+    with_ctes(
+        "pull_requests",
+        body="""
+SELECT pr_id,
+       substring(sha256(pr_id || '|' || repo_name), 1, 32) AS trace_id,
+       substring(sha256(pr_id || '|' || repo_name), 17, 16) AS span_id
+FROM pull_requests
+""",
+    ),
+)(
+    lambda spark, sf: (
+        lambda prs: prs.select(
+            "pr_id",
+            F.substring(F.sha2(F.concat_ws("|", "pr_id", "repo_name"), 256), 1, 32).alias(
+                "trace_id"
+            ),
+            F.substring(F.sha2(F.concat_ws("|", "pr_id", "repo_name"), 256), 17, 16).alias(
+                "span_id"
+            ),
+        )
+    )(_view(spark, sf, "pull_requests"))
+)
+
+_q(
+    "x9_api_url_rewrite",
+    with_ctes(
+        "repos",
+        body="SELECT repo_name, replace(url, 'api.github.com/repos', 'github.com') AS html_url FROM repos",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "repos").select(
+        "repo_name",
+        F.regexp_replace("url", r"api\.github\.com/repos", "github.com").alias("html_url"),
+    )
+)
+
+_q(
+    "x16_multi_format_timestamps",
+    with_ctes(
+        "deployments",
+        body="""
+SELECT deployment_id,
+       CAST(epoch(CASE WHEN started_on LIKE '0001-01-01%' THEN NULL
+            ELSE COALESCE(try_strptime(started_on, '%Y-%m-%dT%H:%M:%S'),
+                          try_strptime(started_on, '%Y-%m-%d %H:%M:%S'),
+                          try_strptime(started_on, '%Y-%m-%d')) END) AS BIGINT) AS started_epoch
+FROM deployments
+""",
+    ),
+)(
+    lambda spark, sf: (
+        lambda d: d.select(
+            "deployment_id",
+            F.unix_timestamp(parse_multi_format_ts("started_on"))
+            .cast("bigint")
+            .alias("started_epoch"),
+        )
+    )(_view(spark, sf, "deployments"))
+)
+
+_q(
+    "x22_workflow_path_names",
+    with_ctes(
+        "pull_requests",
+        body="""
+SELECT pr_id,
+       lower(split_part(regexp_extract(split_part(
+           '.github/workflows/Build_' || pr_id || '.yml@refs/heads/main', '@', 1),
+           '([^/]+)$', 1), '.', 1)) AS workflow_name
+FROM pull_requests
+""",
+    ),
+)(
+    lambda spark, sf: (
+        lambda prs: prs.select(
+            "pr_id",
+            workflow_path_to_name(
+                F.concat(
+                    F.lit(".github/workflows/Build_"), F.col("pr_id"), F.lit(".yml@refs/heads/main")
+                )
+            ).alias("workflow_name"),
+        )
+    )(_view(spark, sf, "pull_requests"))
+)
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id, sh AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')
+           )) AS sh
+    FROM documents
+  ) WHERE sh <> ''
+)
+"""
+
+_SIGS_CTE = ", sigs AS (\n  SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(DD.NUM_HASHES)
+) + "\n  FROM shingles GROUP BY doc_id\n)"
+
+_BANDS_CTE = ", bands AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_id, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sigs"
+    for b in range(DD.NUM_HASHES // DD.BAND_SIZE)
+) + "\n)"
+
+_q(
+    "dd1_exact_dedup",
+    "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count "
+    "FROM documents GROUP BY text",
+)(
+    lambda spark, sf: DD.exact_dedup(load_tables(spark, sf)["documents"]).select(
+        "keep_id", "dup_count"
+    )
+)
+
+_MATCH_SUM = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(DD.NUM_HASHES)
+)
+
+_q(
+    "dd2_minhash_near_dups",
+    "WITH "
+    + _SHINGLES_CTE.strip()
+    + _SIGS_CTE
+    + _BANDS_CTE
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({_MATCH_SUM} AS BIGINT) AS match_count
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+WHERE {_MATCH_SUM} >= 4
+""",
+)(lambda spark, sf: DD.minhash_near_dups(load_tables(spark, sf)["documents"]))
+
+_q(
+    "dd3_ngram_jaccard_pairs",
+    "WITH "
+    + _SHINGLES_CTE.strip()
+    + """
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (wa.n_sh + wb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes wa ON wa.doc_id = doc_a
+JOIN sizes wb ON wb.doc_id = doc_b
+WHERE round(inter / (wa.n_sh + wb.n_sh - inter), 6) >= 0.5
+""",
+)(lambda spark, sf: DD.ngram_jaccard_pairs(load_tables(spark, sf)["documents"]))
+
+_SIMHASH_SUMS = ", ".join(
+    f"CAST(SUM((hv >> {j}) & 1) AS BIGINT) AS s{j}" for j in range(DD.SIMHASH_BITS)
+)
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN 2 * s{j} >= n THEN {2**j} ELSE 0 END)" for j in range(DD.SIMHASH_BITS)
+)
+
+_q(
+    "dd4_simhash",
+    "WITH "
+    + _SHINGLES_CTE.strip()
+    + f"""
+, h AS (
+  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv FROM shingles
+)
+, agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, {_SIMHASH_SUMS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash FROM agg
+""",
+)(lambda spark, sf: DD.simhash(load_tables(spark, sf)["documents"]))
+
+_QUANT_SQL = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_COSINE_SQL = """
+round(
+  CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS BIGINT) /
+  sqrt(CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT) *
+       CAST(list_sum(list_transform(qb, x -> x * x)) AS BIGINT)), 6)
+"""
+
+_q(
+    "sim1_brute_force_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT_SQL} AS qa FROM embeddings WHERE vec_id IN (0, 1, 2)
+), c AS (
+  SELECT vec_id AS cand_id, {_QUANT_SQL} AS qb FROM embeddings
+), scored AS (
+  SELECT query_id, cand_id, {_COSINE_SQL} AS cosine
+  FROM c, q WHERE cand_id <> query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)(lambda spark, sf: SIM.brute_force_topk(load_tables(spark, sf)["embeddings"]))
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(3)
+)
+
+_q(
+    "sim2_lsh_topk",
+    f"""
+WITH b AS (
+  SELECT vec_id, {_QUANT_SQL} AS q, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings
+), qv AS (
+  SELECT vec_id AS query_id, q AS qa, bucket AS qbucket FROM b WHERE vec_id IN (0, 1, 2)
+), cv AS (
+  SELECT vec_id AS cand_id, q AS qb, bucket FROM b
+), scored AS (
+  SELECT query_id, cand_id, {_COSINE_SQL} AS cosine
+  FROM cv JOIN qv ON bucket = qbucket WHERE cand_id <> query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)(lambda spark, sf: SIM.lsh_topk(load_tables(spark, sf)["embeddings"]))
+
+_q(
+    "ts1_token_count",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+)(lambda spark, sf: TS.token_count(load_tables(spark, sf)["documents"]))
+
+_STOP_IN = ", ".join(f"'{s}'" for s in TS.STOPWORDS)
+
+_q(
+    "ts2_quality_score",
+    f"""
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_filter(words, w -> w IN ({_STOP_IN}))) AS BIGINT) AS n_stopwords,
+       round(CAST(len(list_filter(words, w -> w IN ({_STOP_IN}))) AS BIGINT)
+             / greatest(CAST(len(words) AS BIGINT), 1), 6) AS stopword_ratio,
+       round(CAST(length(text) AS BIGINT) / greatest(CAST(len(words) AS BIGINT), 1), 6)
+         AS chars_per_word
+FROM (SELECT doc_id, text, regexp_extract_all(text, '[a-zA-Z0-9]+') AS words FROM documents)
+""",
+)(lambda spark, sf: TS.quality_score(load_tables(spark, sf)["documents"]))
+
+_LANG_SCORES = ", ".join(
+    "len(list_filter(words, w -> w IN ({}))) AS score_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in sorted(TS.LANG_MARKERS.items())
+)
+_LANG_BEST = "greatest({})".format(", ".join(f"score_{lang}" for lang in sorted(TS.LANG_MARKERS)))
+_LANG_PRED = "CASE " + " ".join(
+    f"WHEN score_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(TS.LANG_MARKERS)
+) + " END"
+
+_q(
+    "ts3_language_id",
+    f"""
+SELECT doc_id, lang AS actual_lang, {_LANG_PRED} AS predicted_lang
+FROM (SELECT doc_id, lang, {_LANG_SCORES}
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents))
+""",
+)(lambda spark, sf: TS.language_id(load_tables(spark, sf)["documents"]))
+
+_q(
+    "ts4_fingerprint",
+    r"""
+SELECT doc_id, substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents
+""",
+)(lambda spark, sf: TS.fingerprint(load_tables(spark, sf)["documents"]))
+
+# ---------------------------------------------------------------------------
+# flagship pipeline over the tokenized-sequence table (north rule):
+# parse (pandas UDF) → enrich → route → aggregate, oracle recomputes the
+# generator + scan-parse arithmetically in DuckDB.
+# ---------------------------------------------------------------------------
+
+_SEV_CASE = (
+    "CASE list_filter(tokens, t -> t >= 10 AND t < 15)[1] "
+    "WHEN 10 THEN 'debug' WHEN 11 THEN 'info' WHEN 12 THEN 'warn' "
+    "WHEN 13 THEN 'error' WHEN 14 THEN 'fatal' END"
+)
+_RES_SQL = "'svc-' || CAST(list_filter(tokens, t -> t >= 100 AND t < 120)[1] - 100 AS STRING)"
+_SCOPE_SQL = "'scope-' || CAST(list_filter(tokens, t -> t >= 200 AND t < 208)[1] - 200 AS STRING)"
+
+
+def _pipeline_parsed(spark: SparkSession, sf: str):
+    from .plans.pipeline import parse_stage
+
+    return parse_stage(sequences(spark, rows_for_sf(sf)), use_udf=True)
+
+
+_q(
+    "pl1_parse_route_aggregate",
+    "WITH "
+    + duckdb_sequences_cte(60000).strip()
+    + f"""
+SELECT source, {_SEV_CASE} AS severity,
+       CAST(count(*) AS BIGINT) AS seq_count,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_count
+FROM sequences GROUP BY 1, 2
+""",
+)(
+    lambda spark, sf: _pipeline_parsed(spark, sf)
+    .groupBy("source", "severity")
+    .agg(
+        F.count(F.lit(1)).alias("seq_count"),
+        F.sum("n_tok").cast("bigint").alias("tok_count"),
+    )
+)
+
+_q(
+    "pl2_enrich_rollup",
+    "WITH "
+    + duckdb_sequences_cte(60000).strip()
+    + ", "
+    + duckdb_enrich_dim_cte().strip()
+    + f"""
+, parsed AS (SELECT *, {_RES_SQL} AS resource FROM sequences)
+SELECT team, tier, CAST(count(*) AS BIGINT) AS seq_count
+FROM parsed LEFT JOIN enrich_dim USING (resource)
+GROUP BY team, tier
+""",
+)(
+    lambda spark, sf: _pipeline_parsed(spark, sf)
+    .join(F.broadcast(enrich_dim(spark)), "resource", "left")
+    .groupBy("team", "tier")
+    .agg(F.count(F.lit(1)).alias("seq_count"))
+)
+
+_q(
+    "pl3_trace_ids",
+    "WITH "
+    + duckdb_sequences_cte(60000).strip()
+    + f"""
+, parsed AS (SELECT *, {_SCOPE_SQL} AS scope FROM sequences)
+SELECT doc_id,
+       substring(sha256(doc_id || '|' || source), 1, 32) AS trace_id,
+       substring(sha256(doc_id || '|' || scope), 17, 16) AS span_id
+FROM parsed
+WHERE scope IN ('scope-0', 'scope-1', 'scope-2') AND source <> 'webhook'
+""",
+)(
+    lambda spark, sf: (
+        lambda parsed: parsed.filter(
+            F.col("scope").isin("scope-0", "scope-1", "scope-2") & (F.col("source") != "webhook")
+        ).select(
+            "doc_id",
+            F.substring(F.sha2(F.concat_ws("|", "doc_id", "source"), 256), 1, 32).alias("trace_id"),
+            F.substring(F.sha2(F.concat_ws("|", "doc_id", "scope"), 256), 17, 16).alias("span_id"),
+        )
+    )(_pipeline_parsed(spark, sf))
+)
+
+_q(
+    "pl4_logs_route_token_equality",
+    "WITH "
+    + duckdb_sequences_cte(60000).strip()
+    + f"""
+, parsed AS (SELECT *, {_SEV_CASE} AS severity FROM sequences)
+SELECT doc_id, severity, n_tok, CAST(list_sum(tokens) AS BIGINT) AS token_sum
+FROM parsed WHERE severity IN ('warn', 'error', 'fatal')
+""",
+)(
+    lambda spark, sf: _pipeline_parsed(spark, sf)
+    .filter(F.col("severity").isin("warn", "error", "fatal"))
+    .select(
+        "doc_id",
+        "severity",
+        "n_tok",
+        F.expr(
+            "aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("token_sum"),
+    )
+)

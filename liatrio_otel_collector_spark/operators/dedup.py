@@ -1,0 +1,165 @@
+"""Deduplication operators over the `documents` table — the training-data
+pipeline ops a 100 TB corpus needs (exact, MinHash+LSH, SimHash, n-gram
+Jaccard).
+
+Hash choice: md5 hex strings (not xxhash64/murmur) so every stage is
+bit-reproducible in the DuckDB oracle.  "min over hex strings" is a valid
+minwise hash family because lexicographic order on fixed-width hex equals
+numeric order on the digest.
+
+Scale shape: everything is explode → hash → groupBy/join — no driver-side
+state, no per-row Python.  The LSH band join is the scale path: candidate
+generation is |bands| equi-join keys, never the O(n²) cross join; exact
+verification (Jaccard) runs only on band-collision candidates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes each
+
+
+# Exact dedup (hash-groupBy): one surviving doc per identical text.
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    return documents.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct k-word shingles per document."""
+    w = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    )
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, h0..h{n-1}): minwise md5 signature per doc."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_id, band_key): banded signature for bucket-join."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def minhash_near_dups(
+    documents: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    min_matches: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
+    join → signature-agreement filter.  Returns (doc_a, doc_b, match_count)
+    for pairs agreeing on >= min_matches of num_hashes hashes."""
+    sig = minhash_signatures(shingles(documents), num_hashes)
+    bands = lsh_bands(sig, num_hashes, band_size)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    match = reduce(
+        lambda acc, i: acc + F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0),
+        range(1, num_hashes),
+        F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    )
+    return (
+        joined.select("doc_a", "doc_b", match.cast("bigint").alias("match_count"))
+        .filter(F.col("match_count") >= min_matches)
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, candidates = docs sharing any
+    shingle (inverted-index join, not cross join)."""
+    sh = shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    wa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    wb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): bit-majority fingerprint over shingle hashes.
+
+    Shingle hash = first 15 hex chars of md5 parsed as int (60 bits, positive)
+    — reproducible in any SQL engine with md5 + hex parse.  16 bits keeps the
+    aggregate narrow; widen `bits` for production use.
+    """
+    sh = shingles(documents)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+    withbits = sh.select("doc_id", *[
+        (F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"bit{j}") for j in range(bits)
+    ])
+    agg = withbits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"bit{j}").alias(f"s{j}") for j in range(bits)],
+    )
+    fp = reduce(
+        lambda acc, j: acc
+        + F.when(2 * F.col(f"s{j}") >= F.col("n"), F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(1, bits),
+        F.when(2 * F.col("s0") >= F.col("n"), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return agg.select("doc_id", fp.alias("simhash"))

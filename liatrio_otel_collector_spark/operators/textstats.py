@@ -1,0 +1,82 @@
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, language-ID heuristic, content fingerprinting.
+
+All pure Catalyst expressions (regexp counts + integer arithmetic) — the
+divisions at the end are double ops over exact integers, so results are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-zA-Z0-9]+"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# tiny per-language marker-word profiles for the n-gram/stopword heuristic;
+# deterministic and engine-portable (the point is the *operator shape*:
+# score-per-profile → argmax with lexicographic tie-break).
+LANG_MARKERS = {
+    "en": ("the", "fast", "slow"),
+    "es": ("data", "valor", "tabla"),
+    "de": ("der", "schnell", "gruppe"),
+    "fr": ("le", "vite", "table"),
+    "zh": ("hash", "scan", "join"),
+}
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace/regex token counting (BPE-ish word regex)."""
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_WORD_RE), 0)).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / stopword-ratio / mean-word-length quality signals."""
+    words = F.regexp_extract_all("text", F.lit(_WORD_RE), 0)
+    n_words = F.size(words).cast("bigint")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(n_chars / F.greatest(n_words, F.lit(1)), 6).alias("chars_per_word"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: per-language hit count, argmax with
+    lexicographic tie-break (greatest score wins, then language code)."""
+    words = F.split(F.col("text"), " ")
+    scores = [
+        F.size(F.filter(words, lambda w: w.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = None
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    # reversed() + overwrite gives lexicographically-first winner
+    out = scored
+    for lang in langs:
+        out = out.withColumnRenamed(f"score_{lang}", f"score_{lang}")
+    return out.select("doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 over lowercase-normalized text (stable doc
+    identity for dedup manifests)."""
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return documents.select(
+        "doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint")
+    )

@@ -49,8 +49,9 @@ def main() -> None:
     sf = float(sf_name[2:]) if sf_name.startswith("sf") else 0.1
     n_rows = rows_for_sf(SF_DIR)
 
-    # warm the JVM/Python workers so the measured run is steady-state
-    run_pipeline(spark, 10_000)
+    # full-size warmup: JIT, Python-worker spawn, heap growth land here so
+    # the measured run is steady-state
+    run_pipeline(spark, n_rows)
 
     t0 = time.time()
     run_pipeline(spark, n_rows)

@@ -51,13 +51,26 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 8k-row Arrow batches: token arrays make rows wide, and big batches
+        # (64k) cause multi-second first-batch stalls across 32 concurrent
+        # Python workers (measured 5x slower cold); 8k keeps transfer + NumPy
+        # working sets cache-friendly with no steady-state penalty.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # zstd halves staged/sink bytes vs snappy for token arrays — IO is
+        # the scarce resource, not CPU
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # On one box, shuffle + staging IO share a single disk — a serial term a
+    # real cluster doesn't have (per-executor local disks). Benchmarks set
+    # this to a tmpfs path to model per-node IO scaling.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

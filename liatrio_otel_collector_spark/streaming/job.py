@@ -1,0 +1,109 @@
+"""Structured Streaming wrapper around the batch DAG (SURVEY §2.9).
+
+The reference's runtime model is a ticker-driven scrape loop
+(collection_interval, /root/reference/config/config.yaml:24-25) plus
+webhook push receivers (trace_receiver.go:70-188) — both map to micro-batch
+execution here:
+
+- the source is a replayable stream (file stream over the sequences table;
+  maxFilesPerTrigger is the collection-interval analog);
+- each micro-batch runs the SAME parse → enrich → route → aggregate DAG as
+  batch mode (one code path, two execution modes);
+- ``foreachBatch`` fans the persisted batch out to all sinks (multi-exporter
+  K3), appends a per-partition lineage manifest, and emits a
+  self-observability row (throughput/lag — the obsreport analog K4);
+- the checkpoint directory makes the job resumable: a restart processes only
+  unseen input, and deterministic ids (X4) keep any replayed batch
+  idempotent at the sink.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lineage import lineage_manifest
+from ..plans.pipeline import PipelineConfig, aggregate_stage, enrich_stage, parse_stage, route_stage
+from ..sources.sequences import enrich_dim
+
+SEQ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string, id bigint"
+
+
+@dataclass
+class StreamingConfig:
+    input_dir: str
+    output_dir: str
+    checkpoint_dir: str
+    max_files_per_trigger: int = 1
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+
+
+def _process_batch(spark: SparkSession, cfg: StreamingConfig):
+    dim = enrich_dim(spark)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        salted = batch_df.repartition(
+            F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(cfg.pipeline.salt_buckets))
+        )
+        enriched = enrich_stage(
+            parse_stage(salted, use_udf=cfg.pipeline.use_udf_parse), dim
+        ).persist()
+        try:
+            routed = route_stage(enriched, cfg.pipeline)
+            aggs = aggregate_stage(enriched, routed)
+            counts: dict[str, int] = {}
+            for name, df in {**routed, **aggs}.items():
+                out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                out.write.mode("append").parquet(os.path.join(cfg.output_dir, name))
+                counts[name] = out.count()
+                lineage_manifest(df, name, batch_id).write.mode("append").parquet(
+                    os.path.join(cfg.output_dir, "_lineage", name)
+                )
+            input_rows = enriched.count()
+            elapsed = time.time() - t0
+            metrics = spark.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        input_rows,
+                        counts.get("logs", 0),
+                        counts.get("traces", 0),
+                        float(elapsed),
+                        float(input_rows / elapsed) if elapsed > 0 else 0.0,
+                    )
+                ],
+                "batch_id long, input_rows long, logs_rows long, traces_rows long, "
+                "process_sec double, rows_per_sec double",
+            ).withColumn("processed_at", F.current_timestamp())
+            metrics.write.mode("append").parquet(os.path.join(cfg.output_dir, "_metrics"))
+        finally:
+            enriched.unpersist()
+
+    return process
+
+
+def start_stream(spark: SparkSession, cfg: StreamingConfig, available_now: bool = True):
+    """Start (or resume, if the checkpoint exists) the streaming pipeline.
+
+    ``available_now=True`` drains everything currently in input_dir then
+    stops — the deterministic test/bench mode.  ``False`` runs a continuous
+    micro-batch trigger (the production mode)."""
+    raw = (
+        spark.readStream.schema(SEQ_SCHEMA)
+        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+        .parquet(cfg.input_dir)
+    )
+    writer = (
+        raw.writeStream.foreachBatch(_process_batch(spark, cfg))
+        .option("checkpointLocation", cfg.checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()

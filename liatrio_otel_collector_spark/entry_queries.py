@@ -25,6 +25,8 @@ from .operators import aggregates as A
 from .operators import dedup as DD
 from .operators import setops as U
 from .operators import similarity as SIM
+from .operators.similarity import _DOT, _NORM, _quantized, signlsh_buckets
+from .operators.aggregates import _final_deployments
 from .operators import textstats as TS
 from .operators import windows as W
 from .sources.domain import NOW, VIEW_BUILDERS, with_ctes
@@ -982,5 +984,241 @@ FROM parsed WHERE severity IN ('warn', 'error', 'fatal')
         F.expr(
             "aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("token_sum"),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# coverage round 2: source-scan semantics, top-1 windows, unions, filters
+# ---------------------------------------------------------------------------
+
+# S1/S2 — repo search scan: archived:false filter + per-org totalCount
+# (githubscraper/helpers.go:29-78)
+_q(
+    "s1_repo_search_scan",
+    with_ctes(
+        "repos",
+        body="SELECT org, CAST(count(*) AS BIGINT) AS total_count "
+        "FROM repos WHERE NOT archived GROUP BY org",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "repos")
+    .filter(~F.col("archived"))
+    .groupBy("org")
+    .agg(F.count(F.lit(1)).alias("total_count"))
+)
+
+# S16 — ADO oldest divergent commit: showOldestCommitsFirst=true&$top=1
+# (azuredevopsscraper/helpers.go:291-324) = row_number asc over full ordering
+_q(
+    "s16_oldest_divergent_commit",
+    with_ctes(
+        "commits",
+        body="""
+SELECT repo_name, branch_name, CAST(floor(epoch(committed_date)) AS BIGINT) AS committed_epoch,
+       additions
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo_name, branch_name
+    ORDER BY committed_date, additions, deletions, author_id
+  ) AS rn
+  FROM commits
+) WHERE rn = 1
+""",
+    ),
+)(
+    lambda spark, sf: W.first_event(
+        _view(spark, sf, "commits"),
+        part_cols=("repo_name", "branch_name"),
+        order_cols=("committed_date", "additions", "deletions", "author_id"),
+    ).select(
+        "repo_name",
+        "branch_name",
+        F.unix_timestamp("committed_date").cast("bigint").alias("committed_epoch"),
+        "additions",
+    )
+)
+
+# W3/S17 — latest completed deployment per service ($top=1 newest,
+# helpers.go:351-390; deployments last:1 genqlient.graphql:185-194)
+_q(
+    "w3_latest_deployment_per_service",
+    with_ctes(
+        "deployments",
+        body=_DEPLOY_FINAL_SQL
+        + """
+SELECT service, deployment_id, CAST(floor(epoch(completed_ts)) AS BIGINT) AS completed_epoch
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY service ORDER BY completed_ts DESC, deployment_id DESC
+  ) AS rn
+  FROM gated WHERE completed_ts IS NOT NULL
+) WHERE rn = 1
+""",
+    ),
+)(
+    lambda spark, sf: (
+        lambda d: W.first_event(
+            _final_deployments(d).filter(F.col("completed_ts").isNotNull()),
+            part_cols=("service",),
+            order_cols=("completed_ts", "deployment_id"),
+            desc=True,
+        ).select(
+            "service",
+            "deployment_id",
+            F.unix_timestamp("completed_ts").cast("bigint").alias("completed_epoch"),
+        )
+    )(_view(spark, sf, "deployments"))
+)
+
+# U1 — dependabot ∪ code-scanning union before the severity rollup
+# (helpers.go:414-424), kept as an observable two-leg union
+_q(
+    "u1_union_cve_sources",
+    with_ctes(
+        "cve_alerts",
+        body="""
+SELECT alert_source, CAST(count(*) AS BIGINT) AS alert_count FROM (
+  SELECT * FROM cve_alerts WHERE alert_source = 'dependabot' AND state = 'open'
+  UNION ALL
+  SELECT * FROM cve_alerts WHERE alert_source = 'code_scanning' AND state = 'open'
+)
+GROUP BY alert_source
+""",
+    ),
+)(
+    lambda spark, sf: (
+        lambda a: U.union_cves(
+            a.filter((F.col("alert_source") == "dependabot") & (F.col("state") == "open")),
+            a.filter((F.col("alert_source") == "code_scanning") & (F.col("state") == "open")),
+        )
+        .groupBy("alert_source")
+        .agg(F.count(F.lit(1)).alias("alert_count"))
+    )(_view(spark, sf, "cve_alerts"))
+)
+
+# F10 — repo-name substring filter (client-side strings.Contains,
+# azuredevopsscraper/helpers.go:176-186)
+_q(
+    "f10_repo_substring_filter",
+    with_ctes(
+        "repos",
+        body="SELECT org, CAST(count(*) AS BIGINT) AS match_count "
+        "FROM repos WHERE contains(repo_name, '000000001') GROUP BY org",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "repos")
+    .filter(F.col("repo_name").contains("000000001"))
+    .groupBy("org")
+    .agg(F.count(F.lit(1)).alias("match_count"))
+)
+
+# dedup #5 — embedding-cosine near-dup pairs within sign-LSH buckets
+# (the ANN-bucketed variant of dd2 for dense vectors)
+_q(
+    "dd5_embedding_near_dups",
+    f"""
+WITH b AS (
+  SELECT vec_id, {_QUANT_SQL} AS q, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.q AS qa, c.q AS qb
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, {_COSINE_SQL} AS cosine
+FROM pairs
+WHERE {_COSINE_SQL} >= 0.18
+""",
+)(
+    lambda spark, sf: (
+        lambda b: (
+            lambda pairs: pairs.select(
+                "vec_a",
+                "vec_b",
+                F.round(
+                    F.expr(_DOT)
+                    / F.sqrt(F.expr(_NORM.format(c="qa")) * F.expr(_NORM.format(c="qb"))),
+                    6,
+                ).alias("cosine"),
+            ).filter(F.col("cosine") >= 0.18)
+        )(
+            b.alias("a")
+            .join(
+                b.alias("c"),
+                (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("c.vec_id").alias("vec_b"),
+                F.col("a.q").alias("qa"),
+                F.col("c.q").alias("qb"),
+            )
+        )
+    )(
+        signlsh_buckets(
+            _quantized(load_tables(spark, sf)["embeddings"]), 3
+        ).select("vec_id", "q", "bucket")
+    )
+)
+
+# X19 — labels lowercased into an array attribute (model.go:255-262);
+# output joined to string so both engines hash identically
+_q(
+    "x19_labels_lowercase",
+    with_ctes(
+        "pull_requests",
+        body="""
+SELECT pr_id,
+       array_to_string(
+         list_transform(['Bug', 'URGENT-' || pr_id, 'CI'], l -> lower(l)), ','
+       ) AS labels_lc
+FROM pull_requests
+""",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "pull_requests").select(
+        "pr_id",
+        F.array_join(
+            F.transform(
+                F.array(F.lit("Bug"), F.concat(F.lit("URGENT-"), F.col("pr_id")), F.lit("CI")),
+                lambda l: F.lower(l),
+            ),
+            ",",
+        ).alias("labels_lc"),
+    )
+)
+
+# X20 — referenced workflows -> indexed attribute keys
+# github.reference.workflow.{i}.name (model.go:213-222) via posexplode
+_q(
+    "x20_indexed_workflow_attrs",
+    with_ctes(
+        "pull_requests",
+        body="""
+SELECT pr_id, s.k AS attr_key, s.v AS attr_value
+FROM (
+  SELECT pr_id,
+         unnest(list_transform(range(0, 2), i -> {
+           'k': 'github.reference.workflow.' || CAST(i AS STRING) || '.name',
+           'v': 'wf-' || pr_id || '-' || CAST(i AS STRING)
+         })) AS s
+  FROM pull_requests
+)
+""",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "pull_requests")
+    .select(
+        "pr_id",
+        F.posexplode(
+            F.array(
+                *[F.concat(F.lit("wf-"), F.col("pr_id"), F.lit(f"-{i}")) for i in range(2)]
+            )
+        ).alias("pos", "attr_value"),
+    )
+    .select(
+        "pr_id",
+        F.concat(F.lit("github.reference.workflow."), F.col("pos").cast("string"), F.lit(".name")).alias(
+            "attr_key"
+        ),
+        "attr_value",
     )
 )

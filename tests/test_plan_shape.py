@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the optimizations the engine claims must be
+visible in the executed plan (the 100 TB story is checked here, not assumed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from liatrio_otel_collector_spark.plans.pipeline import PipelineConfig, build_pipeline
+from liatrio_otel_collector_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrich_join_is_broadcast_no_smj(spark):
+    plan = _plan(build_pipeline(spark, 10_000)["metrics"])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_runs_on_arrow(spark):
+    plan = _plan(build_pipeline(spark, 10_000)["logs"])
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_shipdate") >= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_to_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # ReadSchema must contain only the two needed columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+def test_wholestage_codegen_in_aggregate(spark):
+    df = build_pipeline(spark, 10_000, PipelineConfig(use_udf_parse=False))["metrics"]
+    df.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen stages in the final plan
+    assert "*(" in plan and "HashAggregate" in plan
+
+
+def test_salted_repartition_present(spark):
+    plan = _plan(build_pipeline(spark, 10_000)["metrics"])
+    # the explicit salt expression appears in the exchange
+    assert "xxhash64" in plan and "pmod" in plan
+
+
+def test_broadcast_in_similarity_topk(spark):
+    from liatrio_otel_collector_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(brute_force_topk(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -31,18 +31,21 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct k-word shingles per document."""
+def shingles(documents: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle): k-word shingles per document.
+
+    ``distinct=True`` (a full shuffle) is required for Jaccard set counts;
+    minwise hashing passes ``distinct=False`` — min over duplicates is
+    identical, so the dedup shuffle is pure waste there."""
     w = F.split(F.col("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
     )
-    return (
-        documents.select("doc_id", F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    out = documents.select("doc_id", F.explode(sh).alias("shingle")).filter(
+        F.col("shingle") != ""
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
@@ -84,7 +87,7 @@ def minhash_near_dups(
     """MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
     join → signature-agreement filter.  Returns (doc_a, doc_b, match_count)
     for pairs agreeing on >= min_matches of num_hashes hashes."""
-    sig = minhash_signatures(shingles(documents), num_hashes)
+    sig = minhash_signatures(shingles(documents, distinct=False), num_hashes)
     bands = lsh_bands(sig, num_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -1,0 +1,366 @@
+"""Scraper metric emission (SURVEY §3.1): the github scraper's
+MetricsBuilder.Emit re-expressed as one long-format DataFrame.
+
+Output schema (the pdata long format the golden YAMLs serialize):
+    (metric_name: string, value: long, attrs: map<string,string>,
+     resource: map<string,string>)
+
+Re-expresses /root/reference/receiver/githubreceiver/internal/scraper/
+githubscraper/github_scraper.go:63-263 over domain-shaped inputs, preserving
+the reference's quirks:
+
+- the DELIBERATE ahead/behind swap (:171-177): BehindBy emits as "ahead",
+  AheadBy as "behind";
+- Go time.Duration clamp: durations computed against the zero time overflow
+  int64 nanoseconds and cap at MaxInt64 ns = 9223372036 s (observable in
+  expected_happy_path.yaml's vcs.change.duration datapoint);
+- resource attrs stamped at emit (:256-262): organization.name +
+  vcs.vendor.name;
+- per-metric enable flags (metadata.yaml defaults: contributor.count OFF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.maps import normalize_severity
+
+GO_MAX_DURATION_S = 9_223_372_036  # MaxInt64 ns in whole seconds
+
+
+def _clamped_age_s(start: Column, end: Column) -> Column:
+    """getAge with Go's Duration overflow clamp (helpers.go:410-412; the
+    zero-time open PR in the happy-path golden hits the cap)."""
+    return F.least(
+        F.unix_timestamp(end) - F.unix_timestamp(start), F.lit(GO_MAX_DURATION_S)
+    ).cast("bigint")
+
+
+def _emit(df: DataFrame, metric: str, value: Column, attrs: Column) -> DataFrame:
+    return df.select(
+        F.lit(metric).alias("metric_name"),
+        value.cast("bigint").alias("value"),
+        attrs.alias("attrs"),
+    )
+
+
+def _attrs(*pairs) -> Column:
+    kvs = []
+    for k, v in pairs:
+        kvs.extend([F.lit(k), v.cast("string")])
+    return F.create_map(*kvs)
+
+
+def github_scrape_metrics(
+    repos: DataFrame,
+    branches: DataFrame,
+    pull_requests: DataFrame,
+    commits: DataFrame,
+    cve_alerts: DataFrame,
+    org: str,
+    now: str,
+    enable_contributor_count: bool = False,
+) -> DataFrame:
+    """One scrape() snapshot → long-format metric datapoints.
+
+    Inputs use the domain schemas of sources/domain.py plus:
+    - repos.url doubles as vcs.repository.url.full;
+    - pull_requests.head_ref (may be empty, as in the mock fixtures);
+    - branches.base_ref = the repo default branch (F1 upstream-filtered).
+    """
+    now_ts = F.to_timestamp(F.lit(now))
+    repo_attrs = lambda extra=(): _attrs(  # noqa: E731
+        *extra,
+        ("vcs.repository.name", F.col("repo_name")),
+        ("vcs.repository.url.full", F.col("url")),
+    )
+
+    parts: list[DataFrame] = []
+
+    # A1 vcs.repository.count (github_scraper.go:101)
+    parts.append(
+        _emit(
+            repos.agg(F.count(F.lit(1)).alias("n")),
+            "vcs.repository.count",
+            F.col("n"),
+            F.create_map().cast("map<string,string>"),
+        )
+    )
+
+    # A2 vcs.ref.count (:157-158)
+    parts.append(
+        _emit(
+            branches.groupBy("repo_name", "url").agg(F.count(F.lit(1)).alias("n")),
+            "vcs.ref.count",
+            F.col("n"),
+            repo_attrs((("vcs.ref.head.type", F.lit("branch")),)),
+        )
+    )
+
+    # A3 vcs.change.count per state (:223-250)
+    state_lc = F.when(F.col("state") == "MERGED", "merged").otherwise("open")
+    parts.append(
+        _emit(
+            pull_requests.groupBy("repo_name", "url", state_lc.alias("state_lc")).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "vcs.change.count",
+            F.col("n"),
+            repo_attrs((("vcs.change.state", F.col("state_lc")),)),
+        )
+    )
+
+    # A4 vcs.change.time_to_merge per merged PR (:230-232)
+    merged = pull_requests.filter(F.col("state") == "MERGED")
+    parts.append(
+        _emit(
+            merged,
+            "vcs.change.time_to_merge",
+            _clamped_age_s(F.col("created_at"), F.col("merged_at")),
+            repo_attrs((("vcs.ref.head.name", F.col("head_ref")),)),
+        )
+    )
+
+    # A5 vcs.change.duration per open PR (:235-239)
+    open_prs = pull_requests.filter(F.col("state") == "OPEN")
+    parts.append(
+        _emit(
+            open_prs,
+            "vcs.change.duration",
+            _clamped_age_s(F.col("created_at"), now_ts),
+            repo_attrs(
+                (
+                    ("vcs.change.state", F.lit("open")),
+                    ("vcs.ref.head.name", F.col("head_ref")),
+                )
+            ),
+        )
+    )
+
+    # A7 vcs.ref.revisions_delta with the DELIBERATE SWAP (:171-177)
+    head_attrs = (
+        ("vcs.ref.head.name", F.col("branch_name")),
+        ("vcs.ref.head.type", F.lit("branch")),
+    )
+    deltas = branches.select(
+        "repo_name",
+        "url",
+        "branch_name",
+        F.expr(
+            "stack(2, 'ahead', CAST(behind_by AS BIGINT), 'behind', CAST(ahead_by AS BIGINT))"
+        ).alias("direction", "revisions"),
+    )
+    parts.append(
+        _emit(
+            deltas,
+            "vcs.ref.revisions_delta",
+            F.col("revisions"),
+            repo_attrs(head_attrs + (("vcs.revision_delta.direction", F.col("direction")),)),
+        )
+    )
+
+    # A8 vcs.ref.lines_delta (sum over commits behind trunk, :191-193)
+    base_attrs = (
+        ("vcs.ref.base.name", F.col("base_ref")),
+        ("vcs.ref.base.type", F.lit("branch")),
+    )
+    sums = commits.groupBy("repo_name", "url", "branch_name", "base_ref").agg(
+        F.sum("additions").alias("added"), F.sum("deletions").alias("removed")
+    )
+    lines = sums.select(
+        "repo_name",
+        "url",
+        "branch_name",
+        "base_ref",
+        F.expr("stack(2, 'added', CAST(added AS BIGINT), 'removed', CAST(removed AS BIGINT))").alias(
+            "line_type", "lines"
+        ),
+    )
+    parts.append(
+        _emit(
+            lines,
+            "vcs.ref.lines_delta",
+            F.col("lines"),
+            repo_attrs(
+                (("vcs.line_change.type", F.col("line_type")),) + base_attrs + head_attrs
+            ),
+        )
+    )
+
+    # A9 vcs.ref.time (now - oldest commit, :189)
+    ages = commits.groupBy("repo_name", "url", "branch_name").agg(
+        F.min("committed_date").alias("oldest")
+    )
+    parts.append(
+        _emit(
+            ages,
+            "vcs.ref.time",
+            _clamped_age_s(F.col("oldest"), now_ts),
+            repo_attrs(head_attrs),
+        )
+    )
+
+    # A10 vcs.contributor.count — metadata.yaml default OFF (config gate)
+    if enable_contributor_count:
+        parts.append(
+            _emit(
+                commits.groupBy("repo_name", "url").agg(
+                    F.countDistinct("author_id").alias("n")
+                ),
+                "vcs.contributor.count",
+                F.col("n"),
+                repo_attrs(),
+            )
+        )
+
+    # A11 vcs.cve.count (U1 union upstream, severity map X5, :213-221)
+    cves = (
+        cve_alerts.filter(F.col("state") == "open")
+        .withColumn("severity", normalize_severity("severity_raw"))
+        .groupBy("repo_name", "url", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    parts.append(
+        _emit(cves, "vcs.cve.count", F.col("n"), repo_attrs((("cve.severity", F.col("severity")),)))
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    resource = _attrs(("organization.name", F.lit(org)), ("vcs.vendor.name", F.lit("github")))
+    return out.withColumn("resource", resource)
+
+
+def gitlab_scrape_metrics(
+    projects: DataFrame,
+    branches: DataFrame,
+    merge_requests: DataFrame,
+    org: str,
+    now: str,
+) -> DataFrame:
+    """GitLab scraper snapshot (gitlab_scraper.go:100-216) → long format.
+
+    Differences from the github emit (both visible in the goldens):
+    - vcs.ref.lines_delta is PER MERGE REQUEST with a vcs.change.id attr
+      (gitlab_scraper.go:192-194 emits per-MR diffStatsSummary), not a
+      per-branch commit sum;
+    - no vcs.change.count (the gitlab scraper never records it — absent from
+      expected_happy_path.yaml);
+    - vcs.change.duration attrs carry head name but NOT head type;
+    - branch age anchors on the S12 initial-commit probe
+      (gitlabscraper/helpers.go:113-139), provided as initial_commit_ts.
+
+    Schemas:
+      projects:        (repo_name, repo_id, url)
+      branches:        (repo_name, repo_id, url, branch_name, initial_commit_ts)
+      merge_requests:  (repo_name, repo_id, url, mr_iid, source_branch,
+                        target_branch, created_at, merged_at, additions, deletions)
+    """
+    now_ts = F.to_timestamp(F.lit(now))
+    repo_attrs = lambda extra=(): _attrs(  # noqa: E731
+        *extra,
+        ("vcs.repository.id", F.col("repo_id")),
+        ("vcs.repository.name", F.col("repo_name")),
+        ("vcs.repository.url.full", F.col("url")),
+    )
+    parts: list[DataFrame] = []
+
+    # vcs.repository.count (gitlab_scraper.go:111)
+    parts.append(
+        _emit(
+            projects.agg(F.count(F.lit(1)).alias("n")),
+            "vcs.repository.count",
+            F.col("n"),
+            F.create_map().cast("map<string,string>"),
+        )
+    )
+
+    # vcs.ref.count (:153)
+    parts.append(
+        _emit(
+            branches.groupBy("repo_name", "repo_id", "url").agg(F.count(F.lit(1)).alias("n")),
+            "vcs.ref.count",
+            F.col("n"),
+            repo_attrs((("vcs.ref.head.type", F.lit("branch")),)),
+        )
+    )
+
+    # vcs.ref.time (:166-169) — anchored on the initial-commit probe (S12)
+    parts.append(
+        _emit(
+            branches,
+            "vcs.ref.time",
+            _clamped_age_s(F.col("initial_commit_ts"), now_ts),
+            repo_attrs(
+                (
+                    ("vcs.ref.head.name", F.col("branch_name")),
+                    ("vcs.ref.head.type", F.lit("branch")),
+                )
+            ),
+        )
+    )
+
+    open_mrs = merge_requests.filter(F.col("merged_at").isNull())  # F7 zero-time test
+    merged_mrs = merge_requests.filter(F.col("merged_at").isNotNull())
+
+    # vcs.change.duration per open MR (:199-201) — NO head type attr
+    parts.append(
+        _emit(
+            open_mrs,
+            "vcs.change.duration",
+            _clamped_age_s(F.col("created_at"), now_ts),
+            repo_attrs(
+                (
+                    ("vcs.change.state", F.lit("open")),
+                    ("vcs.ref.head.name", F.col("source_branch")),
+                )
+            ),
+        )
+    )
+
+    # vcs.change.time_to_merge per merged MR (:203-204)
+    parts.append(
+        _emit(
+            merged_mrs,
+            "vcs.change.time_to_merge",
+            _clamped_age_s(F.col("created_at"), F.col("merged_at")),
+            repo_attrs((("vcs.ref.head.name", F.col("source_branch")),)),
+        )
+    )
+
+    # vcs.ref.lines_delta PER MR with vcs.change.id (:192-194)
+    lines = merge_requests.select(
+        "repo_name",
+        "repo_id",
+        "url",
+        "mr_iid",
+        "source_branch",
+        "target_branch",
+        F.expr(
+            "stack(2, 'added', CAST(additions AS BIGINT), 'removed', CAST(deletions AS BIGINT))"
+        ).alias("line_type", "lines"),
+    )
+    parts.append(
+        _emit(
+            lines,
+            "vcs.ref.lines_delta",
+            F.col("lines"),
+            repo_attrs(
+                (
+                    ("vcs.change.id", F.col("mr_iid")),
+                    ("vcs.line_change.type", F.col("line_type")),
+                    ("vcs.ref.base.name", F.col("target_branch")),
+                    ("vcs.ref.base.type", F.lit("branch")),
+                    ("vcs.ref.head.name", F.col("source_branch")),
+                    ("vcs.ref.head.type", F.lit("branch")),
+                )
+            ),
+        )
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    resource = _attrs(("organization.name", F.lit(org)), ("vcs.vendor.name", F.lit("gitlab")))
+    return out.withColumn("resource", resource)

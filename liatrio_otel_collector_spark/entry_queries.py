@@ -1222,3 +1222,51 @@ FROM (
         "attr_value",
     )
 )
+
+# A20 — gitlab.catalog.resource.star_count / usage_count scalar passthrough
+# (gitlab_catalog_scraper.go:188-197): projection from a dim, range-generated
+_q(
+    "a20_catalog_resource_stats",
+    """
+SELECT 'catalog/res-' || CAST(r AS STRING) AS resource_path,
+       CAST(r % 50 AS BIGINT) AS star_count,
+       CAST(r % 30 AS BIGINT) AS usage_count
+FROM range(0, 100) t(r)
+""",
+)(
+    lambda spark, sf: spark.range(100).selectExpr(
+        "concat('catalog/res-', id) AS resource_path",
+        "CAST(id % 50 AS BIGINT) AS star_count",
+        "CAST(id % 30 AS BIGINT) AS usage_count",
+    )
+)
+
+# A23 — vcs.terraform.module.consumer: one value=1 row per
+# (module, system, consumer project) (gitlab_terraform_scraper.go:153-157)
+_q(
+    "a23_terraform_consumer_rows",
+    with_ctes(
+        "ci_lines",
+        body=r"""
+SELECT split_part(src, '/', 3) AS module,
+       regexp_extract(src, '([^/]+)$', 1) AS system,
+       project_path,
+       CAST(1 AS BIGINT) AS value
+FROM (
+  SELECT DISTINCT project_path, regexp_extract(line, 'source\s*=\s*"([^"]+)"', 1) AS src
+  FROM ci_lines
+) WHERE src <> ''
+""",
+    ),
+)(
+    lambda spark, sf: _view(spark, sf, "ci_lines")
+    .select("project_path", F.regexp_extract("line", r'source\s*=\s*"([^"]+)"', 1).alias("src"))
+    .filter(F.col("src") != "")
+    .distinct()
+    .select(
+        F.substring_index(F.substring_index("src", "/", 3), "/", -1).alias("module"),
+        F.regexp_extract("src", "([^/]+)$", 1).alias("system"),
+        "project_path",
+        F.lit(1).cast("bigint").alias("value"),
+    )
+)

@@ -179,6 +179,9 @@ def run_pipeline(
         sinks = build_pipeline(spark, n_rows, cfg, enriched=enriched)
         counts: dict[str, int] = {}
         if cfg.output_dir:
+            import time as _time
+
+            t0 = _time.time()
             for name, df in sinks.items():
                 path = os.path.join(cfg.output_dir, name)
                 writer = df.write.mode("overwrite").format(cfg.sink_format)
@@ -190,6 +193,25 @@ def run_pipeline(
                 lineage_manifest(df, name, batch_id).write.mode("overwrite").format(
                     cfg.sink_format
                 ).save(os.path.join(cfg.output_dir, "_lineage", name))
+            # K4 self-observability for batch runs (mirrors streaming _metrics)
+            elapsed = _time.time() - t0
+            input_rows = enriched.count()
+            spark.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        int(input_rows),
+                        int(counts.get("logs", 0)),
+                        int(counts.get("traces", 0)),
+                        float(elapsed),
+                        float(input_rows / elapsed) if elapsed > 0 else 0.0,
+                    )
+                ],
+                "batch_id long, input_rows long, logs_rows long, traces_rows long, "
+                "process_sec double, rows_per_sec double",
+            ).withColumn("processed_at", F.current_timestamp()).write.mode("append").format(
+                cfg.sink_format
+            ).save(os.path.join(cfg.output_dir, "_metrics"))
         else:
             # count-only mode (bench): ONE action for all sinks — a union of
             # per-sink counts — instead of one job per sink; per-job

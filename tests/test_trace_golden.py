@@ -218,3 +218,50 @@ def test_duplicate_step_names_dedup(spark):
         r["name"] for r in df.filter(F.col("attrs")["cicd.pipeline.task.name"].isNotNull()).collect()
     )
     assert names == ["build", "build-1", "build-2", "deploy", "test"]
+
+
+def test_actions_step_span_id_variants(spark):
+    """githubactionsreceiver: duplicated step names include position index+1
+    in the span-id key; unique names omit the number entirely
+    (trace_event_handling.go:301-328)."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from liatrio_otel_collector_spark.plans.traces import actions_step_span_id
+
+    rows = [(7, 1, "job", n, i) for i, n in enumerate(["build", "test", "build"])]
+    df = spark.createDataFrame(
+        rows, "run_id long, attempt int, job string, step string, pos int"
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("run_id", "attempt", "job", "step"))
+    out = {
+        (r["step"], r["pos"]): r["sid"]
+        for r in df.select(
+            "step",
+            "pos",
+            actions_step_span_id(
+                F.col("run_id"), F.col("attempt"), F.col("job"), F.col("step"), F.col("pos"), cnt
+            ).alias("sid"),
+        ).collect()
+    }
+    assert out[("test", 1)] == hashlib.sha256(b"71jobtest").hexdigest()[16:32]
+    assert out[("build", 0)] == hashlib.sha256(b"71jobbuild1").hexdigest()[16:32]
+    assert out[("build", 2)] == hashlib.sha256(b"71jobbuild3").hexdigest()[16:32]
+
+
+def test_actions_service_name(spark):
+    from liatrio_otel_collector_spark.plans.traces import actions_service_name
+
+    df = spark.range(1)
+    got = df.select(
+        actions_service_name(
+            F.lit(""), F.lit("ci-"), F.lit("-prod"), F.lit("My_Repo")
+        ).alias("a"),
+        actions_service_name(
+            F.lit("Override_Name"), F.lit("ci-"), F.lit("-prod"), F.lit("My_Repo")
+        ).alias("b"),
+    ).collect()[0]
+    assert got["a"] == "ci-my-repo-prod"
+    # custom override is used VERBATIM (no formatString, :293-295)
+    assert got["b"] == "Override_Name"

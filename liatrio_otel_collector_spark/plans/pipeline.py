@@ -169,7 +169,12 @@ def run_pipeline(
     import tempfile
 
     cfg = cfg or PipelineConfig()
-    out_dir = cfg.output_dir or tempfile.mkdtemp(prefix="liatrio_stage_")
+    # ephemeral staging (count-only mode) prefers tmpfs: the stage is scratch
+    # IO that a cluster puts on fast node-local storage; honor TMPDIR first
+    scratch_base = os.environ.get("TMPDIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    out_dir = cfg.output_dir or tempfile.mkdtemp(prefix="liatrio_stage_", dir=scratch_base)
     stage_path = os.path.join(out_dir, "_stage")
     try:
         build_enriched(spark, n_rows, cfg, source_df).write.mode("overwrite").format(

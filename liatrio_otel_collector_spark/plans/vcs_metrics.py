@@ -364,3 +364,165 @@ def gitlab_scrape_metrics(
         out = out.unionByName(p)
     resource = _attrs(("organization.name", F.lit(org)), ("vcs.vendor.name", F.lit("gitlab")))
     return out.withColumn("resource", resource)
+
+
+def gitlab_terraform_scrape_metrics(
+    packages: DataFrame,
+    consumer_blobs: DataFrame,
+    consumer_projects: DataFrame,
+    org: str,
+) -> DataFrame:
+    """Terraform-module scraper snapshot (gitlab_terraform_scraper.go:82-157).
+
+    - vcs.terraform.module.count: count of terraform_module packages (A21);
+    - per module (X15 name/system split, default system 'generic'):
+      consumer rows via the source-line regex match (X14,
+      gitlabterraformscraper/helpers.go:232-245) over code-search blobs (S24)
+      joined to project info (J4) — one value=1 row per consumer (A23) and a
+      distinct-project consumer.count (A22, dedupe helpers.go:158-168).
+
+    Schemas:
+      packages:          (package_name, package_type)
+      consumer_blobs:    (project_id, line)
+      consumer_projects: (project_id, path_with_namespace, web_url)
+    """
+    mods = packages.filter(F.col("package_type") == "terraform_module").select(
+        F.substring_index("package_name", "/", 1).alias("module_name"),
+        F.when(
+            F.col("package_name").contains("/"), F.substring_index("package_name", "/", -1)
+        )
+        .otherwise(F.lit("generic"))
+        .alias("module_system"),
+    )
+    parts: list[DataFrame] = []
+    parts.append(
+        _emit(
+            mods.agg(F.count(F.lit(1)).alias("n")),
+            "vcs.terraform.module.count",
+            F.col("n"),
+            F.create_map().cast("map<string,string>"),
+        )
+    )
+    # X14: the blob line must contain source = ".../{name}/{system}"
+    hits = (
+        consumer_blobs.crossJoin(F.broadcast(mods))
+        .filter(
+            F.col("line").rlike(
+                r'source\s*=\s*"[^"]*/'
+            )
+            & F.col("line").contains(
+                F.concat(F.lit("/"), F.col("module_name"), F.lit("/"), F.col("module_system"))
+            )
+        )
+        .select("project_id", "module_name", "module_system")
+        .distinct()
+        .join(F.broadcast(consumer_projects), "project_id")
+    )
+    mod_attrs = (
+        ("vcs.terraform.module.name", F.col("module_name")),
+        ("vcs.terraform.module.system", F.col("module_system")),
+    )
+    parts.append(
+        _emit(
+            hits,
+            "vcs.terraform.module.consumer",
+            F.lit(1),
+            _attrs(
+                ("vcs.repository.name", F.col("path_with_namespace")),
+                ("vcs.repository.url.full", F.col("web_url")),
+                *mod_attrs,
+            ),
+        )
+    )
+    parts.append(
+        _emit(
+            hits.groupBy("module_name", "module_system").agg(
+                F.countDistinct("project_id").alias("n")
+            ),
+            "vcs.terraform.module.consumer.count",
+            F.col("n"),
+            _attrs(*mod_attrs),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    resource = _attrs(("organization.name", F.lit(org)), ("vcs.vendor.name", F.lit("gitlab")))
+    return out.withColumn("resource", resource)
+
+
+def gitlab_catalog_scrape_metrics(
+    projects: DataFrame,
+    component_usages: DataFrame,
+    ci_lines: DataFrame,
+    catalog_resources: DataFrame,
+    org: str,
+) -> DataFrame:
+    """CI-catalog scraper snapshot (gitlab_catalog_scraper.go:100-200).
+
+    - gitlab.catalog.project.component_count per project (A18, usage count);
+    - gitlab.catalog.component.project_count per FULL component path parsed
+      from CI-config lines (X12, gitlabcatalogscraper/helpers.go:19,109-136)
+      of projects with >0 usages (A19);
+    - gitlab.catalog.resource.star_count / usage_count per resource =
+      parent path of each component (A20, dim lookup J3).
+
+    Schemas:
+      projects:          (project_path, url)
+      component_usages:  (project_path, usage_name)
+      ci_lines:          (project_path, line)
+      catalog_resources: (full_path, name, star_count, usage_count)
+    """
+    usage_counts = (
+        projects.join(
+            component_usages.groupBy("project_path").agg(F.count(F.lit(1)).alias("n")),
+            "project_path",
+            "left",
+        ).select("project_path", "url", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    parts: list[DataFrame] = []
+    parts.append(
+        _emit(
+            usage_counts,
+            "gitlab.catalog.project.component_count",
+            F.col("n"),
+            _attrs(("vcs.repository.url.full", F.col("url"))),
+        )
+    )
+    with_usages = usage_counts.filter(F.col("n") > 0).select("project_path")
+    comps = (
+        ci_lines.join(with_usages, "project_path")
+        .withColumn("m", F.regexp_extract("line", r"^\s*-\s*component:\s*[^/]+/(.+)", 1))
+        .filter(F.col("m") != "")
+        .withColumn("component", F.substring_index("m", "@", 1))
+    )
+    parts.append(
+        _emit(
+            comps.groupBy("component").agg(F.countDistinct("project_path").alias("n")),
+            "gitlab.catalog.component.project_count",
+            F.col("n"),
+            _attrs(("gitlab.catalog.component.name", F.col("component"))),
+        )
+    )
+    # resource path = component path minus the last segment
+    res_paths = comps.select(
+        F.expr("substring(component, 1, length(component) - length(substring_index(component, '/', -1)) - 1)").alias(
+            "full_path"
+        )
+    ).distinct()
+    resources = res_paths.join(F.broadcast(catalog_resources), "full_path")
+    res_attrs = _attrs(
+        ("gitlab.catalog.resource.full_path", F.col("full_path")),
+        ("gitlab.catalog.resource.name", F.col("name")),
+    )
+    parts.append(
+        _emit(resources, "gitlab.catalog.resource.star_count", F.col("star_count"), res_attrs)
+    )
+    parts.append(
+        _emit(resources, "gitlab.catalog.resource.usage_count", F.col("usage_count"), res_attrs)
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    resource = _attrs(("organization.name", F.lit(org)), ("vcs.vendor.name", F.lit("gitlab")))
+    return out.withColumn("resource", resource)

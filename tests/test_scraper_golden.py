@@ -149,3 +149,114 @@ def test_gitlab_happy_path_golden(spark):
     assert got == GL_EXPECTED
     for r in rows:
         assert r["resource"] == {"organization.name": "project", "vcs.vendor.name": "gitlab"}
+
+
+# --- terraform scraper golden (gitlab_terraform_scraper_test.go:85-133;
+# expected_happy_path.yaml / expected_no_modules.yaml) ----------------------
+
+from liatrio_otel_collector_spark.plans.vcs_metrics import (
+    gitlab_catalog_scrape_metrics,
+    gitlab_terraform_scrape_metrics,
+)
+
+TF_PKG_SCHEMA = "package_name string, package_type string"
+TF_BLOB_SCHEMA = "project_id long, line string"
+TF_PROJ_SCHEMA = "project_id long, path_with_namespace string, web_url string"
+
+_TF_MOD = (("vcs.terraform.module.name", "my-vpc"), ("vcs.terraform.module.system", "aws"))
+
+
+def test_terraform_happy_path_golden(spark):
+    pkgs = spark.createDataFrame([("my-vpc/aws", "terraform_module")], TF_PKG_SCHEMA)
+    blobs = spark.createDataFrame(
+        [
+            (100, 'source = "gitlab.com/testgroup/my-vpc/aws"'),
+            (200, 'source = "gitlab.com/testgroup/my-vpc/aws"'),
+        ],
+        TF_BLOB_SCHEMA,
+    )
+    projs = spark.createDataFrame(
+        [
+            (100, "testgroup/consumer-app", "https://gitlab.com/testgroup/consumer-app"),
+            (200, "testgroup/another-app", "https://gitlab.com/testgroup/another-app"),
+        ],
+        TF_PROJ_SCHEMA,
+    )
+    rows = gitlab_terraform_scrape_metrics(pkgs, blobs, projs, org="testgroup").collect()
+    got = {(r["metric_name"], r["value"], frozenset(r["attrs"].items())) for r in rows}
+    assert got == {
+        ("vcs.terraform.module.count", 1, frozenset()),
+        ("vcs.terraform.module.consumer", 1, frozenset({
+            ("vcs.repository.name", "testgroup/consumer-app"),
+            ("vcs.repository.url.full", "https://gitlab.com/testgroup/consumer-app"), *_TF_MOD})),
+        ("vcs.terraform.module.consumer", 1, frozenset({
+            ("vcs.repository.name", "testgroup/another-app"),
+            ("vcs.repository.url.full", "https://gitlab.com/testgroup/another-app"), *_TF_MOD})),
+        ("vcs.terraform.module.consumer.count", 2, frozenset(_TF_MOD)),
+    }
+    for r in rows:
+        assert r["resource"] == {"organization.name": "testgroup", "vcs.vendor.name": "gitlab"}
+
+
+def test_terraform_no_modules_golden(spark):
+    """expected_no_modules.yaml: only vcs.terraform.module.count = 0."""
+    pkgs = spark.createDataFrame([("x", "npm")], TF_PKG_SCHEMA)
+    blobs = spark.createDataFrame([], TF_BLOB_SCHEMA)
+    projs = spark.createDataFrame([], TF_PROJ_SCHEMA)
+    rows = gitlab_terraform_scrape_metrics(pkgs, blobs, projs, org="testgroup").collect()
+    got = {(r["metric_name"], r["value"], frozenset(r["attrs"].items())) for r in rows}
+    assert got == {("vcs.terraform.module.count", 0, frozenset())}
+
+
+# --- catalog scraper golden (gitlab_catalog_scraper_test.go:40-90;
+# expected_happy_path.yaml) --------------------------------------------------
+
+CAT_PROJ_SCHEMA = "project_path string, url string"
+CAT_USAGE_SCHEMA = "project_path string, usage_name string"
+CAT_LINE_SCHEMA = "project_path string, line string"
+CAT_RES_SCHEMA = "full_path string, name string, star_count long, usage_count long"
+
+
+def test_catalog_happy_path_golden(spark):
+    projects = spark.createDataFrame([("my-app", "https://gitlab.com/project/my-app")], CAT_PROJ_SCHEMA)
+    usages = spark.createDataFrame([("my-app", "sast"), ("my-app", "fmt")], CAT_USAGE_SCHEMA)
+    # the my-app CI config from the mock, one include per line (X12 parse)
+    lines = spark.createDataFrame(
+        [
+            ("my-app", "  - component: gitlab.com/components/secret-detection/sast@2.3.0"),
+            ("my-app", "  - component: gitlab.com/components/opentofu/fmt@4.5.0"),
+            ("my-app", "include:"),
+        ],
+        CAT_LINE_SCHEMA,
+    )
+    resources = spark.createDataFrame(
+        [
+            ("components/secret-detection", "Secret Detection", 50, 8000),
+            ("components/opentofu", "OpenTofu", 161, 5445),
+        ],
+        CAT_RES_SCHEMA,
+    )
+    rows = gitlab_catalog_scrape_metrics(projects, usages, lines, resources, org="project").collect()
+    got = {(r["metric_name"], r["value"], frozenset(r["attrs"].items())) for r in rows}
+    assert got == {
+        ("gitlab.catalog.project.component_count", 2,
+         frozenset({("vcs.repository.url.full", "https://gitlab.com/project/my-app")})),
+        ("gitlab.catalog.component.project_count", 1,
+         frozenset({("gitlab.catalog.component.name", "components/secret-detection/sast")})),
+        ("gitlab.catalog.component.project_count", 1,
+         frozenset({("gitlab.catalog.component.name", "components/opentofu/fmt")})),
+        ("gitlab.catalog.resource.star_count", 50,
+         frozenset({("gitlab.catalog.resource.full_path", "components/secret-detection"),
+                    ("gitlab.catalog.resource.name", "Secret Detection")})),
+        ("gitlab.catalog.resource.star_count", 161,
+         frozenset({("gitlab.catalog.resource.full_path", "components/opentofu"),
+                    ("gitlab.catalog.resource.name", "OpenTofu")})),
+        ("gitlab.catalog.resource.usage_count", 8000,
+         frozenset({("gitlab.catalog.resource.full_path", "components/secret-detection"),
+                    ("gitlab.catalog.resource.name", "Secret Detection")})),
+        ("gitlab.catalog.resource.usage_count", 5445,
+         frozenset({("gitlab.catalog.resource.full_path", "components/opentofu"),
+                    ("gitlab.catalog.resource.name", "OpenTofu")})),
+    }
+    for r in rows:
+        assert r["resource"] == {"organization.name": "project", "vcs.vendor.name": "gitlab"}

@@ -67,10 +67,14 @@ def _make_parse_tokens_udf():
         if n == 0:
             return _pd.DataFrame({"severity": [], "resource": [], "scope": []})
         arrs = tokens.to_numpy()
-        lens = _np.fromiter((len(a) for a in arrs), dtype=_np.int64, count=n)
+        # null token lists behave like empty ones (parse -> all-null attrs)
+        lens = _np.fromiter(
+            (0 if a is None else len(a) for a in arrs), dtype=_np.int64, count=n
+        )
+        nonempty = [a for a in arrs if a is not None and len(a)]
         flat = (
-            _np.concatenate(arrs).astype(_np.int64)
-            if lens.sum()
+            _np.concatenate(nonempty).astype(_np.int64)
+            if nonempty
             else _np.empty(0, dtype=_np.int64)
         )
         offsets = _np.zeros(n + 1, dtype=_np.int64)
@@ -79,19 +83,19 @@ def _make_parse_tokens_udf():
         def first_in_range(lo: int, hi: int) -> _np.ndarray:
             # Per-segment index of the first flat value in [lo, hi); -1 if
             # none.  minimum.reduceat over a sentinel-masked index vector —
-            # pure NumPy, no per-row Python.
-            if flat.size == 0:
-                return _np.full(n, -1, dtype=_np.int64)
+            # pure NumPy, no per-row Python.  A sentinel element is appended
+            # so segment starts at flat.size (trailing empty rows) stay valid
+            # reduceat indices without clamping into the PREVIOUS segment.
             sentinel = flat.size
             idx = _np.where(
                 (flat >= lo) & (flat < hi),
                 _np.arange(flat.size, dtype=_np.int64),
                 sentinel,
             )
-            starts = _np.minimum(offsets[:-1], flat.size - 1)
-            firsts = _np.minimum.reduceat(idx, starts)
-            # empty segments read the next segment's reduction — mask them,
-            # and mask "no match" sentinels
+            idx = _np.append(idx, _np.int64(sentinel))
+            firsts = _np.minimum.reduceat(idx, offsets[:-1])
+            # empty segments reduce over foreign/sentinel elements — mask
+            # them, and mask "no match" sentinels
             valid = (offsets[1:] > offsets[:-1]) & (firsts < offsets[1:])
             return _np.where(valid, firsts, -1)
 
@@ -129,22 +133,34 @@ def _make_parse_tokens_arrow_udf():
 
     def parse(tokens: pa.Array) -> pa.Array:
         arr = tokens.combine_chunks() if isinstance(tokens, _pa.ChunkedArray) else tokens
+        if arr.null_count:
+            # null token lists behave like empty ones; rare, so the simple
+            # normalization path is fine
+            arr = _pa.array(
+                [x if x is not None else [] for x in arr.to_pylist()], type=arr.type
+            )
         n = len(arr)
+        if n == 0:
+            empty = _pa.array([], type=_pa.string())
+            return _pa.StructArray.from_arrays(
+                [empty, empty, empty], ["severity", "resource", "scope"]
+            )
         offsets = _np.asarray(arr.offsets)
         offsets = (offsets - offsets[0]).astype(_np.int64)
         flat = _np.asarray(arr.flatten()).astype(_np.int64)
 
         def first_in_range(lo, hi):
-            if flat.size == 0:
-                return _np.full(n, -1, dtype=_np.int64)
+            # sentinel appended so trailing-empty-row starts (== flat.size)
+            # are valid reduceat indices without clamping into the previous
+            # segment (that clamp dropped a marker at a row's last token)
             sentinel = flat.size
             idx = _np.where(
                 (flat >= lo) & (flat < hi),
                 _np.arange(flat.size, dtype=_np.int64),
                 sentinel,
             )
-            starts = _np.minimum(offsets[:-1], flat.size - 1)
-            firsts = _np.minimum.reduceat(idx, starts)
+            idx = _np.append(idx, _np.int64(sentinel))
+            firsts = _np.minimum.reduceat(idx, offsets[:-1])
             valid = (offsets[1:] > offsets[:-1]) & (firsts < offsets[1:])
             return _np.where(valid, firsts, -1)
 
@@ -173,12 +189,15 @@ parse_tokens_udf = _make_parse_tokens_arrow_udf()
 def parse_tokens_expr(tokens: Column | str = "tokens") -> Column:
     """Catalyst-native equivalent of :func:`parse_tokens_udf` (struct col)."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
-    sev_tok = F.element_at(F.filter(t, lambda x: (x >= 10) & (x < 15)), 1)
-    res_tok = F.element_at(F.filter(t, lambda x: (x >= 100) & (x < 120)), 1)
-    scp_tok = F.element_at(F.filter(t, lambda x: (x >= 200) & (x < 208)), 1)
+    one = F.lit(1)
+    # try_element_at: rows without a marker (or with empty/null token lists)
+    # parse to null attrs instead of raising under ANSI mode
+    sev_tok = F.try_element_at(F.filter(t, lambda x: (x >= 10) & (x < 15)), one)
+    res_tok = F.try_element_at(F.filter(t, lambda x: (x >= 100) & (x < 120)), one)
+    scp_tok = F.try_element_at(F.filter(t, lambda x: (x >= 200) & (x < 208)), one)
     severities = F.array(*[F.lit(s) for s in SEVERITIES.tolist()])
     return F.struct(
-        F.element_at(severities, sev_tok - 9).alias("severity"),
+        F.try_element_at(severities, sev_tok - 9).alias("severity"),
         F.concat(F.lit("svc-"), (res_tok - 100).cast("string")).alias("resource"),
         F.concat(F.lit("scope-"), (scp_tok - 200).cast("string")).alias("scope"),
     )

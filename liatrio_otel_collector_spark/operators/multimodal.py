@@ -61,18 +61,6 @@ def decode_image_stub(payload: bytes) -> "np.ndarray":
     )
 
 
-def _batch_features(payloads: "pd.Series") -> "np.ndarray":
-    """Deterministic per-batch 'feature extraction': byte histograms folded
-    to FEATURE_DIM floats. Pure NumPy over the batch — the same shape a real
-    embedding/resize kernel has."""
-    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
-    for i, b in enumerate(payloads):  # per-row loop over BYTES, not rows of Python objects
-        arr = np.frombuffer(b, dtype=np.uint8)
-        hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
-        out[i] = hist / max(len(arr), 1)
-    return out
-
-
 def fake_decode_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature-extraction: partition-preserving, Arrow-batched."""
 

@@ -29,19 +29,23 @@ def brute_force_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 
 
     The query side is a handful of rows ⇒ broadcast: the scan side streams
     once with no shuffle before the top-k."""
-    q = _quantized(embeddings).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
-    ).filter(F.col("query_id").isin(*query_ids))
-    c = _quantized(embeddings).select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"))
+    # norms precomputed per VECTOR (N + Q aggregates), never per pair
+    q = (
+        _quantized(embeddings)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
+        .filter(F.col("query_id").isin(*query_ids))
+        .withColumn("na", F.expr(_NORM.format(c="qa")))
+    )
+    c = (
+        _quantized(embeddings)
+        .select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"))
+        .withColumn("nb", F.expr(_NORM.format(c="qb")))
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "cand_id",
-        F.round(
-            F.expr(_DOT)
-            / F.sqrt(F.expr(_NORM.format(c="qa")) * F.expr(_NORM.format(c="qb"))),
-            6,
-        ).alias("cosine"),
+        F.round(F.expr(_DOT) / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -66,21 +70,23 @@ def lsh_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2), k: i
     """ANN variant: candidates restricted to the query's sign-LSH bucket.
     Same scoring as brute force; recall < 1 by design (scale path)."""
     b = signlsh_buckets(_quantized(embeddings), n_bits)
-    q = b.select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("bucket").alias("qbucket")
-    ).filter(F.col("query_id").isin(*query_ids))
-    c = b.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"), "bucket")
+    q = (
+        b.select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("bucket").alias("qbucket")
+        )
+        .filter(F.col("query_id").isin(*query_ids))
+        .withColumn("na", F.expr(_NORM.format(c="qa")))
+    )
+    c = b.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"), "bucket").withColumn(
+        "nb", F.expr(_NORM.format(c="qb"))
+    )
     pairs = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).filter(
         F.col("cand_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "cand_id",
-        F.round(
-            F.expr(_DOT)
-            / F.sqrt(F.expr(_NORM.format(c="qa")) * F.expr(_NORM.format(c="qb"))),
-            6,
-        ).alias("cosine"),
+        F.round(F.expr(_DOT) / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     from pyspark.sql import Window
 

@@ -66,11 +66,11 @@ def language_id(documents: DataFrame) -> DataFrame:
     for lang in reversed(langs):  # earlier langs win ties -> apply last
         cond = F.col(f"score_{lang}") == best
         pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
-    # reversed() + overwrite gives lexicographically-first winner
-    out = scored
-    for lang in langs:
-        out = out.withColumnRenamed(f"score_{lang}", f"score_{lang}")
-    return out.select("doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+    # reversed() construction makes the earliest (lexicographically-first)
+    # matching language win ties
+    return scored.select(
+        "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
+    )
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:

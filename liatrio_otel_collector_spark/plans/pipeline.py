@@ -96,14 +96,18 @@ def route_stage(enriched: DataFrame, cfg: PipelineConfig) -> dict[str, DataFrame
     return out
 
 
-def aggregate_stage(enriched: DataFrame, routed: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def aggregate_stage(
+    enriched: DataFrame, routed: dict[str, DataFrame], cfg: PipelineConfig | None = None
+) -> dict[str, DataFrame]:
     """Per-sink groupBy rollups (the githubreceiver metric rollups, SURVEY
     §2.4).  All builtin hash aggregates: map-side partial → shuffle → final."""
+    cfg = cfg or PipelineConfig()
     aggs: dict[str, DataFrame] = {}
-    aggs["metrics"] = (
-        enriched.groupBy("source", "severity")
-        .agg(F.count(F.lit(1)).alias("seq_count"), F.sum("n_tok").alias("tok_count"))
-    )
+    if "metrics" in cfg.sinks:
+        aggs["metrics"] = (
+            enriched.groupBy("source", "severity")
+            .agg(F.count(F.lit(1)).alias("seq_count"), F.sum("n_tok").alias("tok_count"))
+        )
     if "logs" in routed:
         aggs["logs_agg"] = (
             routed["logs"].groupBy("team", "severity").agg(F.count(F.lit(1)).alias("log_count"))
@@ -144,7 +148,7 @@ def build_pipeline(
     if enriched is None:
         enriched = build_enriched(spark, n_rows, cfg, source_df)
     routed = route_stage(enriched, cfg)
-    aggs = aggregate_stage(enriched, routed)
+    aggs = aggregate_stage(enriched, routed, cfg)
     return {**routed, **aggs}
 
 
@@ -233,5 +237,8 @@ def run_pipeline(
                 counts.setdefault(name, 0)
         return counts
     finally:
-        if not cfg.output_dir:
-            shutil.rmtree(out_dir, ignore_errors=True)
+        # the staging table is scratch either way: remove the whole tempdir
+        # in count-only mode, and just the _stage subdir when real sinks were
+        # written (it's redundant with them and would otherwise double the
+        # storage footprint / pollute output_dir globs)
+        shutil.rmtree(out_dir if not cfg.output_dir else stage_path, ignore_errors=True)

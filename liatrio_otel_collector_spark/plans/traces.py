@@ -161,7 +161,12 @@ def workflow_job_spans(events: DataFrame) -> DataFrame:
         ("cicd.pipeline.worker.node.id", F.col("node_id")),
         (
             "cicd.pipeline.worker.labels",
-            F.to_json(F.transform(F.col("labels"), lambda x: F.lower(x))),
+            # reference guards with len(labels) > 0 (model.go:257): the attr
+            # is OMITTED for empty label arrays, not emitted as '[]'
+            F.when(
+                F.size("labels") > 0,
+                F.to_json(F.transform(F.col("labels"), lambda x: F.lower(x))),
+            ),
         ),
         ("cicd.pipeline.name", job),
         ("cicd.pipeline.task.run.sender.login", F.col("sender_login")),

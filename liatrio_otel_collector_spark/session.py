@@ -83,6 +83,7 @@ def ship_package(spark: SparkSession) -> None:
     it makes any externally-created session (the driver harness hands us one)
     able to run our Python UDFs regardless of executor PYTHONPATH.
     """
+    import hashlib
     import tempfile
     import zipfile
     from pathlib import Path
@@ -91,10 +92,20 @@ def ship_package(spark: SparkSession) -> None:
     marker = "_liatrio_pkg_shipped"
     if spark.conf.get(f"spark.{marker}", None) == "1":
         return
-    zpath = Path(tempfile.gettempdir()) / "liatrio_otel_collector_spark.zip"
+    # content-hashed zip name: a cached zip from before a source edit must
+    # never ship stale code, and concurrent users can't collide on the path
+    files = sorted(pkg_dir.rglob("*.py"))
+    h = hashlib.sha256()
+    for f in files:
+        h.update(str(f.relative_to(pkg_dir)).encode())
+        h.update(f.read_bytes())
+    zpath = (
+        Path(tempfile.gettempdir())
+        / f"liatrio_otel_collector_spark-{h.hexdigest()[:16]}.zip"
+    )
     if not zpath.exists():
         with zipfile.ZipFile(zpath, "w") as z:
-            for f in pkg_dir.rglob("*.py"):
+            for f in files:
                 z.write(f, f"{pkg_dir.name}/{f.relative_to(pkg_dir)}")
     spark.sparkContext.addPyFile(str(zpath))
     spark.conf.set(f"spark.{marker}", "1")

@@ -43,7 +43,10 @@ def rows_for_sf(sf_dir: str) -> int:
     """Map a testdata dir like /root/testdata/sf0.01 to a deterministic row
     count (6M rows/SF — same density as TPC-H lineitem)."""
     name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    sf = float(name[2:]) if name.startswith("sf") else 0.001
+    try:
+        sf = float(name[2:]) if name.startswith("sf") else 0.001
+    except ValueError:
+        sf = 0.001
     return max(int(_ROWS_PER_SF * sf), 100)
 
 

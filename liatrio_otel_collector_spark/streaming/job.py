@@ -55,15 +55,20 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
         ).persist()
         try:
             routed = route_stage(enriched, cfg.pipeline)
-            aggs = aggregate_stage(enriched, routed)
+            aggs = aggregate_stage(enriched, routed, cfg.pipeline)
             counts: dict[str, int] = {}
             for name, df in {**routed, **aggs}.items():
                 out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 out.write.mode("append").parquet(os.path.join(cfg.output_dir, name))
-                counts[name] = out.count()
-                lineage_manifest(df, name, batch_id).write.mode("append").parquet(
-                    os.path.join(cfg.output_dir, "_lineage", name)
-                )
+                # one manifest computation yields BOTH the lineage rows and
+                # the sink count (sum of per-partition row_count) — no third
+                # recompute of the sink DAG just for counting
+                m_df = lineage_manifest(df, name, batch_id)
+                m_rows = m_df.collect()
+                counts[name] = sum(r["row_count"] for r in m_rows)
+                spark.createDataFrame(m_rows, m_df.schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(os.path.join(cfg.output_dir, "_lineage", name))
             input_rows = enriched.count()
             elapsed = time.time() - t0
             metrics = spark.createDataFrame(

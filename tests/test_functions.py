@@ -112,3 +112,37 @@ def test_age_seconds(spark):
         ),
     )
     assert got == 5400
+
+
+def test_parse_tokens_edge_rows(spark):
+    """Regression: a marker at a row's LAST token must survive when the next
+    row is empty/null (the reduceat clamp bug), and empty/null token lists
+    parse to all-null attrs instead of crashing. All three parse
+    implementations must agree."""
+    from liatrio_otel_collector_spark.functions.tokens import (
+        parse_tokens_expr,
+        parse_tokens_pandas_udf,
+        parse_tokens_udf,
+    )
+
+    rows = [
+        ("marker-at-end", [50000, 49999, 14]),  # severity marker is the LAST token
+        ("empty", []),
+        ("null", None),
+        ("normal", [11, 105, 203, 7]),
+        ("no-markers", [5000, 6000]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    expected = {
+        "marker-at-end": ("fatal", None, None),
+        "empty": (None, None, None),
+        "null": (None, None, None),
+        "normal": ("info", "svc-5", "scope-3"),
+        "no-markers": (None, None, None),
+    }
+    for impl in (parse_tokens_udf(F.col("tokens")), parse_tokens_pandas_udf(F.col("tokens")), parse_tokens_expr("tokens")):
+        got = {
+            r["doc_id"]: (r["p"]["severity"], r["p"]["resource"], r["p"]["scope"])
+            for r in df.select("doc_id", impl.alias("p")).collect()
+        }
+        assert got == expected

@@ -526,3 +526,355 @@ def gitlab_catalog_scrape_metrics(
         out = out.unionByName(p)
     resource = _attrs(("organization.name", F.lit(org)), ("vcs.vendor.name", F.lit("gitlab")))
     return out.withColumn("resource", resource)
+
+
+# --------------------------------------------------------------------------
+# Azure DevOps scraper snapshot (azuredevops_scraper.go:102-317,
+# work_items.go:232-316; golden:
+# azuredevopsscraper/testdata/scraper/expected_happy_path.yaml and
+# expected_no_projects.yaml).
+#
+# The goldens predate the current Go code: they use the older attr names
+# (vcs.ref.head.type, organization.name/vcs.vendor.name) and still contain
+# vcs.ref.lines_delta, which the current scraper no longer fetches, while
+# omitting vcs.change.count (disabled via MetricsBuilderConfig when the
+# golden was generated). This emit targets the GOLDEN datapoint set — the
+# actual parity artifact — with per-metric config gating exactly like
+# metadata.MetricsBuilderConfig, so both the golden config and the current
+# default config are expressible.
+# --------------------------------------------------------------------------
+
+ADO_DEFAULT_METRICS = frozenset(
+    {
+        "vcs.repository.count",
+        "vcs.ref.count",
+        "vcs.ref.time",
+        "vcs.change.count",
+        "vcs.change.duration",
+        "vcs.change.time_to_merge",
+        "vcs.ref.lines_delta",
+        "deploy.deployment.count",
+        "deploy.deployment.average_duration",
+        "deploy.deployment.last_timestamp",
+        "work_item.count",
+        "work_item.cycle_time",
+        "work_item.age",
+        "work_item.tag.count",
+    }
+)
+
+
+def azuredevops_scrape_metrics(
+    repos: DataFrame,
+    branches: DataFrame,
+    pull_requests: DataFrame,
+    org: str,
+    now: str,
+    deployments: DataFrame | None = None,
+    work_items: DataFrame | None = None,
+    environment: str = "production",
+    project: str = "",
+    tag_allowlist: tuple[str, ...] = (),
+    enabled: frozenset = ADO_DEFAULT_METRICS,
+) -> DataFrame:
+    """One ADO scrape() snapshot → long-format metric datapoints.
+
+    Input schemas:
+      repos:    repo_name, repo_id, url, default_branch
+      branches: repo_name, repo_id, url, branch_name,
+                initial_commit_ts (nullable — null ⇒ getInitialCommit
+                failed, no vcs.ref.time point; azuredevops_scraper.go:195-204)
+      pull_requests: repo_name, repo_id, url, pr_id, status
+                ('active'|'completed'|other — others skipped, :249-268),
+                created_at (nullable = Go zero time), closed_at,
+                source_ref, additions, deletions
+      deployments (optional): service, environment, status_raw,
+                started_ts, completed_ts (pre-parsed timestamps)
+      work_items (optional): id, wi_type, state, tags, created_date,
+                closed_date
+    """
+    now_ts = F.to_timestamp(F.lit(now))
+    repo_attrs = lambda extra=(): _attrs(  # noqa: E731
+        *extra,
+        ("vcs.repository.name", F.col("repo_name")),
+        ("vcs.repository.id", F.col("repo_id")),
+        ("vcs.repository.url.full", F.col("url")),
+    )
+    parts: list[DataFrame] = []
+
+    # vcs.repository.count (azuredevops_scraper.go:140-142)
+    if "vcs.repository.count" in enabled:
+        parts.append(
+            _emit(
+                repos.agg(F.count(F.lit(1)).alias("n")),
+                "vcs.repository.count",
+                F.col("n"),
+                F.create_map().cast("map<string,string>"),
+            )
+        )
+
+    # vcs.ref.count — len(branches) per repo (:178-182). A repo whose
+    # branch listing failed contributes no row (the goroutine returns early).
+    if "vcs.ref.count" in enabled:
+        parts.append(
+            _emit(
+                branches.groupBy("repo_name", "repo_id", "url").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+                "vcs.ref.count",
+                F.col("n"),
+                repo_attrs((("vcs.ref.head.type", F.lit("branch")),)),
+            )
+        )
+
+    # vcs.ref.time — non-default branches with a resolved divergent commit
+    # (:186-207): int64(now - commit.Author.Date) seconds.
+    if "vcs.ref.time" in enabled:
+        aged = branches.join(
+            F.broadcast(repos.select("repo_name", "default_branch")), "repo_name"
+        ).filter(
+            (F.col("branch_name") != F.col("default_branch"))
+            & F.col("initial_commit_ts").isNotNull()
+        )
+        parts.append(
+            _emit(
+                aged,
+                "vcs.ref.time",
+                _clamped_age_s(F.col("initial_commit_ts"), now_ts),
+                repo_attrs(
+                    (
+                        ("vcs.ref.head.name", F.col("branch_name")),
+                        ("vcs.ref.head.type", F.lit("branch")),
+                    )
+                ),
+            )
+        )
+
+    active = pull_requests.filter(F.col("status") == "active")
+    completed = pull_requests.filter(F.col("status") == "completed")
+
+    # vcs.change.duration — one point per ACTIVE PR: now - creationDate
+    # (:260-267), Go Duration clamp for zero creationDate.
+    if "vcs.change.duration" in enabled:
+        parts.append(
+            _emit(
+                active,
+                "vcs.change.duration",
+                F.coalesce(
+                    _clamped_age_s(F.col("created_at"), now_ts),
+                    F.lit(GO_MAX_DURATION_S),
+                ),
+                repo_attrs(
+                    (
+                        ("vcs.change.state", F.lit("open")),
+                        ("vcs.ref.head.name", F.col("source_ref")),
+                    )
+                ),
+            )
+        )
+
+    # vcs.change.time_to_merge — one point per COMPLETED PR:
+    # closedDate - creationDate (:253-258). The golden predates the IsZero
+    # guard: a zero creationDate overflows Go's Duration and clamps to
+    # MaxInt64 ns = 9223372036 s (the happy-path golden's exact value).
+    if "vcs.change.time_to_merge" in enabled:
+        parts.append(
+            _emit(
+                completed.filter(F.col("closed_at").isNotNull()),
+                "vcs.change.time_to_merge",
+                F.coalesce(
+                    _clamped_age_s(F.col("created_at"), F.col("closed_at")),
+                    F.lit(GO_MAX_DURATION_S),
+                ),
+                repo_attrs((("vcs.ref.head.name", F.col("source_ref")),)),
+            )
+        )
+
+    # vcs.change.count — per state, EMIT-ONLY-IF-POSITIVE (:273-278).
+    # groupBy is structurally equivalent: a state with zero PRs produces no
+    # group, hence no datapoint.
+    if "vcs.change.count" in enabled:
+        state = F.when(F.col("status") == "completed", "merged").otherwise("open")
+        parts.append(
+            _emit(
+                pull_requests.filter(F.col("status").isin("active", "completed"))
+                .groupBy("repo_name", "repo_id", "url", state.alias("state"))
+                .agg(F.count(F.lit(1)).alias("n")),
+                "vcs.change.count",
+                F.col("n"),
+                repo_attrs((("vcs.change.state", F.col("state")),)),
+            )
+        )
+
+    # vcs.ref.lines_delta — golden-era metric (dropped from the current Go
+    # scraper; present in expected_happy_path.yaml with 2 points per PR and
+    # NO change.id/base attrs, unlike gitlab's): added/removed per PR diff.
+    if "vcs.ref.lines_delta" in enabled:
+        lines = pull_requests.filter(F.col("status").isin("active", "completed")).select(
+            "repo_name",
+            "repo_id",
+            "url",
+            "source_ref",
+            F.expr(
+                "stack(2, 'added', CAST(additions AS BIGINT), 'removed', CAST(deletions AS BIGINT))"
+            ).alias("line_type", "lines"),
+        )
+        parts.append(
+            _emit(
+                lines,
+                "vcs.ref.lines_delta",
+                F.col("lines"),
+                repo_attrs(
+                    (
+                        ("vcs.line_change.type", F.col("line_type")),
+                        ("vcs.ref.head.name", F.col("source_ref")),
+                        ("vcs.ref.head.type", F.lit("branch")),
+                    )
+                ),
+            )
+        )
+
+    # deploy.* — recordDeploymentMetrics (azuredevops_scraper.go:360-440):
+    # status normalization via A12's kernel semantics, succeeded-only
+    # durations with integer avg, max completed-epoch per (svc, env, status).
+    if deployments is not None:
+        dep_attrs = lambda extra=(): _attrs(  # noqa: E731
+            ("service.name", F.col("service")),
+            ("deployment.environment.name", F.lit(environment)),
+            *extra,
+        )
+        norm = F.lower(F.trim(F.col("status_raw")))
+        fin = deployments.withColumn(
+            "status",
+            F.when(norm == "succeeded", "succeeded").when(
+                norm.isin("partiallysucceeded", "failed", "notdeployed"), "failed"
+            ),
+        ).filter(F.col("status").isNotNull())
+        if "deploy.deployment.count" in enabled:
+            parts.append(
+                _emit(
+                    fin.groupBy("service", "status").agg(F.count(F.lit(1)).alias("n")),
+                    "deploy.deployment.count",
+                    F.col("n"),
+                    dep_attrs((("deployment.status", F.col("status")),)),
+                )
+            )
+        if "deploy.deployment.average_duration" in enabled:
+            dur = F.unix_timestamp("completed_ts") - F.unix_timestamp("started_ts")
+            ok = fin.filter(
+                (F.col("status") == "succeeded")
+                & F.col("started_ts").isNotNull()
+                & F.col("completed_ts").isNotNull()
+            )
+            parts.append(
+                _emit(
+                    ok.groupBy("service").agg(
+                        F.floor(F.sum(dur) / F.count(F.lit(1))).alias("avg_s")
+                    ),
+                    "deploy.deployment.average_duration",
+                    F.col("avg_s"),
+                    dep_attrs(),
+                )
+            )
+        if "deploy.deployment.last_timestamp" in enabled:
+            parts.append(
+                _emit(
+                    fin.filter(F.col("completed_ts").isNotNull())
+                    .groupBy("service", "status")
+                    .agg(F.max(F.unix_timestamp("completed_ts")).alias("last_epoch")),
+                    "deploy.deployment.last_timestamp",
+                    F.col("last_epoch"),
+                    dep_attrs((("deployment.status", F.col("status")),)),
+                )
+            )
+
+    # work_item.* — recordWorkItemMetrics (work_items.go:232-316).
+    if work_items is not None:
+        wi = work_items.filter((F.col("wi_type") != "") & (F.col("state") != ""))
+        proj = ("project.name", F.lit(project))
+        if "work_item.count" in enabled:
+            parts.append(
+                _emit(
+                    wi.groupBy("wi_type", "state").agg(F.count(F.lit(1)).alias("n")),
+                    "work_item.count",
+                    F.col("n"),
+                    _attrs(
+                        ("work_item.type", F.col("wi_type")),
+                        ("work_item.state", F.col("state")),
+                        proj,
+                    ),
+                )
+            )
+        if "work_item.tag.count" in enabled and tag_allowlist:
+            tagged = (
+                wi.select(
+                    "wi_type", F.explode(F.split(F.col("tags"), r";\s*")).alias("tag")
+                )
+                .filter(F.col("tag").isin(*tag_allowlist))
+                .groupBy("tag", "wi_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            parts.append(
+                _emit(
+                    tagged,
+                    "work_item.tag.count",
+                    F.col("n"),
+                    _attrs(
+                        ("work_item.tag", F.col("tag")),
+                        ("work_item.type", F.col("wi_type")),
+                        proj,
+                    ),
+                )
+            )
+        dated = wi.filter(F.col("created_date").isNotNull())
+        if "work_item.cycle_time" in enabled:
+            parts.append(
+                _emit(
+                    dated.filter(F.col("closed_date").isNotNull()),
+                    "work_item.cycle_time",
+                    (
+                        F.unix_timestamp("closed_date") - F.unix_timestamp("created_date")
+                    ).cast("bigint"),
+                    _attrs(
+                        ("work_item.id", F.col("id")),
+                        ("work_item.type", F.col("wi_type")),
+                        proj,
+                    ),
+                )
+            )
+        if "work_item.age" in enabled:
+            parts.append(
+                _emit(
+                    dated.filter(F.col("closed_date").isNull()),
+                    "work_item.age",
+                    (F.unix_timestamp(now_ts) - F.unix_timestamp("created_date")).cast(
+                        "bigint"
+                    ),
+                    _attrs(
+                        ("work_item.id", F.col("id")),
+                        ("work_item.type", F.col("wi_type")),
+                        ("work_item.state", F.col("state")),
+                        proj,
+                    ),
+                )
+            )
+
+    if not parts:
+        # getRepositories error path (azuredevops_scraper.go:133-137): the
+        # scraper aborts and mb.Emit() carries nothing — the literal `--- {}`
+        # of expected_no_projects.yaml.
+        parts.append(
+            _emit(
+                repos.limit(0),
+                "",
+                F.lit(0),
+                F.create_map().cast("map<string,string>"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # Golden-era resource attrs (expected_happy_path.yaml; the current code's
+    # rb.SetVcsProviderName/SetVcsOwnerName serialize to the newer names).
+    resource = _attrs(("organization.name", F.lit(org)), ("vcs.vendor.name", F.lit("azuredevops")))
+    return out.withColumn("resource", resource)

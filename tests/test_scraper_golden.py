@@ -260,3 +260,188 @@ def test_catalog_happy_path_golden(spark):
     }
     for r in rows:
         assert r["resource"] == {"organization.name": "project", "vcs.vendor.name": "gitlab"}
+
+
+# --- azuredevops scraper golden (azuredevops_scraper.go:102-317;
+# testdata/scraper/expected_happy_path.yaml / expected_no_projects.yaml) -----
+#
+# No Go test reads these goldens (they predate the current scraper: old attr
+# names vcs.ref.head.type + organization.name/vcs.vendor.name, lines_delta
+# still present, change.count disabled) — the replay inputs below are
+# reconstructed so the datapoint set matches the YAML exactly:
+#   1 repo ("project", id "1", url "") -> repository.count=1
+#   1 non-default branch branch1, initial commit now-1d -> ref.count=1,
+#     ref.time=86400
+#   4 PRs, all sourceRefName "" and 0/0 line stats ->
+#     8 lines_delta points (4 added + 4 removed, all 0);
+#     2 active created now-1d -> 2 x change.duration=86400;
+#     2 completed with Go-zero creationDate -> 2 x time_to_merge clamped to
+#       MaxInt64 ns = 9223372036 s.
+# The golden contains DUPLICATE datapoints (identical attrs), so comparison
+# is a multiset (Counter), unlike the github/gitlab sets.
+
+from collections import Counter
+
+from liatrio_otel_collector_spark.plans.vcs_metrics import (
+    ADO_DEFAULT_METRICS,
+    azuredevops_scrape_metrics,
+)
+
+ADO_REPOS = [("project", "1", "", "main")]
+ADO_REPO_SCHEMA = "repo_name string, repo_id string, url string, default_branch string"
+
+ADO_BRANCHES = [("project", "1", "", "branch1", DAY_AGO)]
+ADO_BRANCH_SCHEMA = (
+    "repo_name string, repo_id string, url string, branch_name string, "
+    "initial_commit_ts timestamp"
+)
+
+ADO_PRS = [
+    ("project", "1", "", "pr-1", "active", DAY_AGO, None, "", 0, 0),
+    ("project", "1", "", "pr-2", "active", DAY_AGO, None, "", 0, 0),
+    ("project", "1", "", "pr-3", "completed", None, _dt(2026, 1, 1), "", 0, 0),
+    ("project", "1", "", "pr-4", "completed", None, _dt(2026, 1, 1), "", 0, 0),
+]
+ADO_PR_SCHEMA = (
+    "repo_name string, repo_id string, url string, pr_id string, status string, "
+    "created_at timestamp, closed_at timestamp, source_ref string, "
+    "additions int, deletions int"
+)
+
+_ADO_REPO = (
+    ("vcs.repository.name", "project"),
+    ("vcs.repository.id", "1"),
+    ("vcs.repository.url.full", ""),
+)
+_ADO_HEAD = (("vcs.ref.head.name", ""), ("vcs.ref.head.type", "branch"))
+
+ADO_EXPECTED = Counter(
+    {
+        ("vcs.repository.count", 1, frozenset()): 1,
+        ("vcs.ref.count", 1, frozenset({("vcs.ref.head.type", "branch"), *_ADO_REPO})): 1,
+        ("vcs.ref.time", 86400, frozenset({("vcs.ref.head.name", "branch1"), ("vcs.ref.head.type", "branch"), *_ADO_REPO})): 1,
+        ("vcs.change.duration", 86400, frozenset({("vcs.change.state", "open"), ("vcs.ref.head.name", ""), *_ADO_REPO})): 2,
+        ("vcs.change.time_to_merge", 9223372036, frozenset({("vcs.ref.head.name", ""), *_ADO_REPO})): 2,
+        ("vcs.ref.lines_delta", 0, frozenset({("vcs.line_change.type", "added"), *_ADO_HEAD, *_ADO_REPO})): 4,
+        ("vcs.ref.lines_delta", 0, frozenset({("vcs.line_change.type", "removed"), *_ADO_HEAD, *_ADO_REPO})): 4,
+    }
+)
+
+# the golden was generated with vcs.change.count disabled (absent from the
+# YAML despite nonzero open/merged counts)
+ADO_GOLDEN_METRICS = ADO_DEFAULT_METRICS - {"vcs.change.count"}
+
+
+def _ado_scrape(spark, repos, branches, prs, **kw):
+    return azuredevops_scrape_metrics(
+        spark.createDataFrame(repos, ADO_REPO_SCHEMA),
+        spark.createDataFrame(branches, ADO_BRANCH_SCHEMA),
+        spark.createDataFrame(prs, ADO_PR_SCHEMA),
+        org="project",
+        now=NOW,
+        **kw,
+    )
+
+
+def test_azuredevops_happy_path_golden(spark):
+    rows = _ado_scrape(
+        spark, ADO_REPOS, ADO_BRANCHES, ADO_PRS, enabled=ADO_GOLDEN_METRICS
+    ).collect()
+    got = Counter(
+        (r["metric_name"], r["value"], frozenset(r["attrs"].items())) for r in rows
+    )
+    assert got == ADO_EXPECTED
+    for r in rows:
+        assert r["resource"] == {
+            "organization.name": "project",
+            "vcs.vendor.name": "azuredevops",
+        }
+
+
+def test_azuredevops_no_projects_golden(spark):
+    """expected_no_projects.yaml is `--- {}`: the getRepositories error path
+    (azuredevops_scraper.go:133-137) emits NOTHING — not even a zero count."""
+    rows = _ado_scrape(spark, [], [], [], enabled=frozenset()).collect()
+    assert rows == []
+
+
+def test_azuredevops_change_count_emit_only_if_positive(spark):
+    """Current-code rule (azuredevops_scraper.go:273-278): change.count only
+    for states with >0 PRs; 'abandoned' PRs are skipped entirely."""
+    prs = [
+        ("project", "1", "", "pr-1", "active", DAY_AGO, None, "feat", 1, 2),
+        ("project", "1", "", "pr-9", "abandoned", DAY_AGO, None, "x", 5, 5),
+    ]
+    rows = _ado_scrape(spark, ADO_REPOS, ADO_BRANCHES, prs).collect()
+    counts = [
+        (r["value"], dict(r["attrs"])["vcs.change.state"])
+        for r in rows
+        if r["metric_name"] == "vcs.change.count"
+    ]
+    assert counts == [(1, "open")]  # no merged row, no abandoned row
+
+
+def test_azuredevops_deploy_and_work_item_sections(spark):
+    """Optional snapshot sections mirror recordDeploymentMetrics
+    (azuredevops_scraper.go:360-440: partiallySucceeded->failed, integer avg,
+    max epoch) and recordWorkItemMetrics (work_items.go:232-316:
+    closed->cycle_time, open->age, allowlisted tags only)."""
+    deps = [
+        ("svc-a", "Succeeded", _dt(2025, 12, 31, 0, 0, 0), _dt(2025, 12, 31, 0, 10, 0)),
+        ("svc-a", "succeeded ", _dt(2025, 12, 31, 1, 0, 0), _dt(2025, 12, 31, 1, 0, 15)),
+        ("svc-a", "partiallySucceeded", _dt(2025, 12, 31), _dt(2025, 12, 31, 2)),
+        ("svc-a", "inProgress", None, None),  # non-final: skipped
+    ]
+    DEP_SCHEMA = "service string, status_raw string, started_ts timestamp, completed_ts timestamp"
+    wis = [
+        ("1", "Bug", "Closed", "alpha; zeta", _dt(2025, 12, 30), _dt(2025, 12, 31)),
+        ("2", "Bug", "Active", "", _dt(2025, 12, 31), None),
+    ]
+    WI_SCHEMA = (
+        "id string, wi_type string, state string, tags string, "
+        "created_date timestamp, closed_date timestamp"
+    )
+    rows = azuredevops_scrape_metrics(
+        spark.createDataFrame(ADO_REPOS, ADO_REPO_SCHEMA),
+        spark.createDataFrame([], ADO_BRANCH_SCHEMA),
+        spark.createDataFrame([], ADO_PR_SCHEMA),
+        org="org",
+        now=NOW,
+        deployments=spark.createDataFrame(deps, DEP_SCHEMA),
+        work_items=spark.createDataFrame(wis, WI_SCHEMA),
+        environment="prod",
+        project="proj",
+        tag_allowlist=("alpha",),
+    ).collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r["metric_name"], []).append(
+            (r["value"], frozenset(r["attrs"].items()))
+        )
+    dep = lambda status=None: frozenset(  # noqa: E731
+        [("service.name", "svc-a"), ("deployment.environment.name", "prod")]
+        + ([("deployment.status", status)] if status else [])
+    )
+    assert sorted(by_metric["deploy.deployment.count"]) == [
+        (1, dep("failed")),
+        (2, dep("succeeded")),
+    ]
+    # integer avg: (600 + 15) / 2 = 307 (truncated)
+    assert by_metric["deploy.deployment.average_duration"] == [(307, dep())]
+    last = dict((f, v) for v, f in by_metric["deploy.deployment.last_timestamp"])
+    assert last[dep("succeeded")] == int(_dt(2025, 12, 31, 1, 0, 15).timestamp())
+    assert last[dep("failed")] == int(_dt(2025, 12, 31, 2).timestamp())
+    wi_counts = sorted(
+        (v, dict(f)["work_item.type"], dict(f)["work_item.state"])
+        for v, f in by_metric["work_item.count"]
+    )
+    assert wi_counts == [(1, "Bug", "Active"), (1, "Bug", "Closed")]
+    assert by_metric["work_item.cycle_time"] == [
+        (86400, frozenset({("work_item.id", "1"), ("work_item.type", "Bug"), ("project.name", "proj")}))
+    ]
+    assert by_metric["work_item.age"] == [
+        (86400, frozenset({("work_item.id", "2"), ("work_item.type", "Bug"), ("work_item.state", "Active"), ("project.name", "proj")}))
+    ]
+    assert by_metric["work_item.tag.count"] == [
+        (1, frozenset({("work_item.tag", "alpha"), ("work_item.type", "Bug"), ("project.name", "proj")}))
+    ]

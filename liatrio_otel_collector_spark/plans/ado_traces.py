@@ -90,27 +90,55 @@ def ado_job_span_id(run_id: Column, attempt: Column, job_name: Column) -> Column
 
 
 def ado_url(col: Column) -> Column:
-    """transformAzureDevOpsURL (:194-198): first /_apis/ → /."""
-    return F.regexp_replace(col, "/_apis/", "/")
+    """transformAzureDevOpsURL (:194-198): Go strings.Replace(..., 1) — the
+    FIRST /_apis/ only (regexp_replace would rewrite all occurrences)."""
+    pos = F.instr(col, F.lit("/_apis/"))
+    return F.when(
+        pos > 0,
+        F.concat(
+            col.substr(F.lit(1), pos - 1),
+            F.lit("/"),
+            col.substr(pos + 7, F.length(col)),
+        ),
+    ).otherwise(col)
+
+
+GO_ZERO_RFC3339 = "0001-01-01T00:00:00Z"
 
 
 def _rfc3339(ts: Column) -> Column:
-    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    """time.RFC3339 — Go formats the zero time rather than skipping it."""
+    return F.coalesce(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX"), F.lit(GO_ZERO_RFC3339)
+    )
+
+
+def _put(v: Column) -> Column:
+    """PutStr semantics: Go getters on missing JSON fields give ""/0, so the
+    attr is ALWAYS present — from_json nulls must coalesce, not drop."""
+    return F.coalesce(v.cast("string"), F.lit(""))
+
+
+def _put_int(v: Column) -> Column:
+    """PutInt semantics: missing numeric fields are 0, never dropped."""
+    return F.coalesce(v.cast("bigint"), F.lit(0)).cast("string")
 
 
 def _repo_attrs(r: Column) -> list[tuple[str, Column]]:
     """Repository attrs from repositories[0] (trace_attributes.go:43-55,
-    101-113); author attrs only when the name is non-empty."""
+    101-113): url/type ALWAYS put (as "") when the array is non-empty;
+    author attrs only when the name is non-empty."""
     repo = F.try_element_at(r, F.lit(1))
+    has_repo = repo.isNotNull()
     has_author = repo["change"]["author"]["name"].isNotNull() & (
         repo["change"]["author"]["name"] != ""
     )
     return [
-        ("vcs.repository.url.full", repo["url"]),
-        ("vcs.repository.type", repo["type"]),
+        ("vcs.repository.url.full", F.when(has_repo, _put(repo["url"]))),
+        ("vcs.repository.type", F.when(has_repo, _put(repo["type"]))),
         ("vcs.commit.author.name", F.when(has_author, repo["change"]["author"]["name"])),
-        ("vcs.commit.author.email", F.when(has_author, repo["change"]["author"]["email"])),
-        ("vcs.commit.message", F.when(has_author, repo["change"]["message"])),
+        ("vcs.commit.author.email", F.when(has_author, _put(repo["change"]["author"]["email"]))),
+        ("vcs.commit.message", F.when(has_author, _put(repo["change"]["message"]))),
     ]
 
 
@@ -128,21 +156,29 @@ def parse_ado_events(raw: DataFrame, body_col: str = "body_raw") -> DataFrame:
     )
 
 
-def ado_pipeline_run_spans(events: DataFrame) -> DataFrame:
-    """Run events (state == completed, F4) → root pipeline span."""
+def ado_pipeline_run_spans(events: DataFrame, gate: bool = True) -> DataFrame:
+    """Run events → root pipeline span. The completed gate lives at the
+    WEBHOOK layer (trace_receiver.go:169-175); gate=False replays the bare
+    handler (handlePipelineEvent), as trace_receiver_test.go does."""
     e = F.col("e.resource")
-    done = events.filter(
-        (F.col("e.eventType") == EVENT_RUN) & (e["run"]["state"] == "completed")
-    )
+    done = events.filter(F.col("e.eventType") == EVENT_RUN)
+    if gate:
+        done = done.filter(e["run"]["state"] == "completed")
     resource = _nonnull_map(
         [
-            ("cicd.pipeline.name", e["run"]["pipeline"]["name"]),
-            ("cicd.pipeline.id", e["runId"]),
-            ("cicd.pipeline.run.state", e["run"]["state"]),
-            ("cicd.pipeline.run.result", e["run"]["result"]),
+            ("cicd.pipeline.name", _put(e["run"]["pipeline"]["name"])),
+            ("cicd.pipeline.id", _put_int(e["runId"])),
+            ("cicd.pipeline.run.state", _put(e["run"]["state"])),
+            ("cicd.pipeline.run.result", _put(e["run"]["result"])),
             ("cicd.pipeline.run.created_date", _rfc3339(e["run"]["createdDate"])),
-            ("cicd.pipeline.run.finished_date", _rfc3339(e["run"]["finishedDate"])),
-            ("cicd.pipeline.run.url", ado_url(e["run"]["url"])),
+            (
+                "cicd.pipeline.run.finished_date",
+                F.when(
+                    e["run"]["finishedDate"].isNotNull(),
+                    _rfc3339(e["run"]["finishedDate"]),
+                ),
+            ),
+            ("cicd.pipeline.run.url", _put(ado_url(e["run"]["url"]))),
             ("vcs.vendor.name", F.lit("azuredevops")),
         ]
     )
@@ -158,26 +194,27 @@ def ado_pipeline_run_spans(events: DataFrame) -> DataFrame:
     )
 
 
-def ado_stage_spans(events: DataFrame) -> DataFrame:
-    """Stage events (completed) → stage span, parent = pipeline span."""
+def ado_stage_spans(events: DataFrame, gate: bool = True) -> DataFrame:
+    """Stage events → stage span, parent = pipeline span (gate as above,
+    trace_receiver.go:176-182)."""
     e = F.col("e.resource")
-    done = events.filter(
-        (F.col("e.eventType") == EVENT_STAGE) & (e["stage"]["state"] == "completed")
-    )
+    done = events.filter(F.col("e.eventType") == EVENT_STAGE)
+    if gate:
+        done = done.filter(e["stage"]["state"] == "completed")
     resource = _nonnull_map(
         [
-            ("cicd.pipeline.name", e["pipeline"]["name"]),
-            ("cicd.pipeline.id", e["runId"]),
-            ("cicd.pipeline.stage.name", e["stage"]["name"]),
-            ("cicd.pipeline.stage.display_name", e["stage"]["displayName"]),
-            ("cicd.pipeline.stage.state", e["stage"]["state"]),
-            ("cicd.pipeline.stage.result", e["stage"]["result"]),
+            ("cicd.pipeline.name", _put(e["pipeline"]["name"])),
+            ("cicd.pipeline.id", _put_int(e["runId"])),
+            ("cicd.pipeline.stage.name", _put(e["stage"]["name"])),
+            ("cicd.pipeline.stage.display_name", _put(e["stage"]["displayName"])),
+            ("cicd.pipeline.stage.state", _put(e["stage"]["state"])),
+            ("cicd.pipeline.stage.result", _put(e["stage"]["result"])),
             ("cicd.pipeline.run.created_date", _rfc3339(e["run"]["createdDate"])),
         ]
         + _repo_attrs(e["repositories"])
         + [
             ("vcs.vendor.name", F.lit("azuredevops")),
-            ("azuredevops.project.id", F.col("e.resourceContainers.project.id")),
+            ("azuredevops.project.id", _put(F.col("e.resourceContainers.project.id"))),
         ]
     )
     return done.select(
@@ -192,36 +229,43 @@ def ado_stage_spans(events: DataFrame) -> DataFrame:
     )
 
 
-def ado_job_spans(events: DataFrame) -> DataFrame:
-    """Job events (completed) → job span, parent = stage span; includes the
-    vcs.commit.version attr the stage event lacks (trace_attributes.go:108)."""
+def ado_job_spans(events: DataFrame, gate: bool = True) -> DataFrame:
+    """Job events → job span, parent = stage span; includes the
+    vcs.commit.version attr the stage event lacks (trace_attributes.go:108).
+    Gate as above (trace_receiver.go:183-189)."""
     e = F.col("e.resource")
-    done = events.filter(
-        (F.col("e.eventType") == EVENT_JOB) & (e["job"]["state"] == "completed")
-    )
+    done = events.filter(F.col("e.eventType") == EVENT_JOB)
+    if gate:
+        done = done.filter(e["job"]["state"] == "completed")
     repo = F.try_element_at(e["repositories"], F.lit(1))
     has_author = repo["change"]["author"]["name"].isNotNull() & (
         repo["change"]["author"]["name"] != ""
     )
     resource = _nonnull_map(
         [
-            ("cicd.pipeline.name", e["pipeline"]["name"]),
-            ("cicd.pipeline.id", e["runId"]),
-            ("cicd.pipeline.job.name", e["job"]["name"]),
-            ("cicd.pipeline.job.state", e["job"]["state"]),
-            ("cicd.pipeline.job.result", e["job"]["result"]),
-            ("cicd.pipeline.job.start_time", _rfc3339(e["job"]["startTime"])),
-            ("cicd.pipeline.job.finish_time", _rfc3339(e["job"]["finishTime"])),
-            ("cicd.pipeline.job.attempt", e["job"]["attempt"]),
-            ("cicd.pipeline.stage.name", e["stage"]["name"]),
-            ("cicd.pipeline.stage.display_name", e["stage"]["displayName"]),
+            ("cicd.pipeline.name", _put(e["pipeline"]["name"])),
+            ("cicd.pipeline.id", _put_int(e["runId"])),
+            ("cicd.pipeline.job.name", _put(e["job"]["name"])),
+            ("cicd.pipeline.job.state", _put(e["job"]["state"])),
+            ("cicd.pipeline.job.result", _put(e["job"]["result"])),
+            (
+                "cicd.pipeline.job.start_time",
+                F.when(e["job"]["startTime"].isNotNull(), _rfc3339(e["job"]["startTime"])),
+            ),
+            (
+                "cicd.pipeline.job.finish_time",
+                F.when(e["job"]["finishTime"].isNotNull(), _rfc3339(e["job"]["finishTime"])),
+            ),
+            ("cicd.pipeline.job.attempt", _put_int(e["job"]["attempt"])),
+            ("cicd.pipeline.stage.name", _put(e["stage"]["name"])),
+            ("cicd.pipeline.stage.display_name", _put(e["stage"]["displayName"])),
             ("cicd.pipeline.run.created_date", _rfc3339(e["run"]["createdDate"])),
         ]
         + _repo_attrs(e["repositories"])
         + [
-            ("vcs.commit.version", F.when(has_author, repo["change"]["version"])),
+            ("vcs.commit.version", F.when(has_author, _put(repo["change"]["version"]))),
             ("vcs.vendor.name", F.lit("azuredevops")),
-            ("azuredevops.project.id", F.col("e.resourceContainers.project.id")),
+            ("azuredevops.project.id", _put(F.col("e.resourceContainers.project.id"))),
         ]
     )
     return done.select(
@@ -236,11 +280,11 @@ def ado_job_spans(events: DataFrame) -> DataFrame:
     )
 
 
-def ado_trace_pipeline(raw: DataFrame, body_col: str = "body_raw") -> DataFrame:
+def ado_trace_pipeline(raw: DataFrame, body_col: str = "body_raw", gate: bool = True) -> DataFrame:
     """Full S26 router: parse → dispatch → completed gate → span union."""
     events = parse_ado_events(raw, body_col)
     return (
-        ado_pipeline_run_spans(events)
-        .unionByName(ado_stage_spans(events))
-        .unionByName(ado_job_spans(events))
+        ado_pipeline_run_spans(events, gate=gate)
+        .unionByName(ado_stage_spans(events, gate=gate))
+        .unionByName(ado_job_spans(events, gate=gate))
     )

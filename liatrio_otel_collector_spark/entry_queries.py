@@ -722,9 +722,15 @@ _q(
     + _SIGS_CTE
     + _BANDS_CTE
     + f"""
+, capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rk
+    FROM bands
+  ) WHERE rk <= {DD.MAX_BUCKET_WIDTH}
+)
 , cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST({_MATCH_SUM} AS BIGINT) AS match_count
@@ -739,11 +745,22 @@ _q(
     "dd3_ngram_jaccard_pairs",
     "WITH "
     + _SHINGLES_CTE.strip()
-    + """
+    + f"""
 , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id)
+, cold AS (
+  SELECT s.* FROM shingles s JOIN (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {DD.MAX_DOC_FREQ}
+  ) f USING (shingle)
+)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
 , inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter,

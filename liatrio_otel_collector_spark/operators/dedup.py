@@ -17,11 +17,19 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 hashes each
+
+# Scale guards (VERDICT r1): the two standard LSH failure modes are a band
+# bucket full of identical docs (O(width²) pairs) and a stop-word shingle
+# shared by 10⁶ docs (O(df²) candidates). Both caps keep candidate
+# generation linear; at 100 TB they are load-bearing, at test SF they are
+# no-ops sized far above observed widths.
+MAX_BUCKET_WIDTH = 256  # per (band_id, band_key); O(bucket) window, not O(bucket²)
+MAX_DOC_FREQ = 128  # shingles in more docs than this generate no candidates
 
 
 # Exact dedup (hash-groupBy): one surviving doc per identical text.
@@ -78,17 +86,61 @@ def lsh_bands(sig: DataFrame, num_hashes: int = NUM_HASHES, band_size: int = BAN
     )
 
 
+def capped_bands(
+    sig: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+) -> DataFrame:
+    """lsh_bands with the bucket-width guard: within each (band_id,
+    band_key) bucket only the first max_bucket_width doc_ids survive, so a
+    bucket of N identical docs yields O(W²) candidate pairs instead of
+    O(N²).  Deterministic (ordered by doc_id) so the DuckDB oracle can
+    replicate it bit-for-bit.  The row_number window shuffles on the same
+    key as the downstream bucket join — no extra shuffle stage."""
+    w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    return (
+        lsh_bands(sig, num_hashes, band_size)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_bucket_width)
+        .drop("_rk")
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+) -> DataFrame:
+    """Band-collision candidate pairs (pre-verification), bucket-capped."""
+    sig = minhash_signatures(shingles(documents, distinct=False), num_hashes)
+    bands = capped_bands(sig, num_hashes, band_size, max_bucket_width)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_near_dups(
     documents: DataFrame,
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
     min_matches: int = 4,
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
-    join → signature-agreement filter.  Returns (doc_a, doc_b, match_count)
-    for pairs agreeing on >= min_matches of num_hashes hashes."""
+    """MinHash+LSH near-duplicate pairs: shingle → minhash → capped band →
+    bucket join → signature-agreement filter.  Returns (doc_a, doc_b,
+    match_count) for pairs agreeing on >= min_matches of num_hashes hashes."""
     sig = minhash_signatures(shingles(documents, distinct=False), num_hashes)
-    bands = lsh_bands(sig, num_hashes, band_size)
+    bands = capped_bands(sig, num_hashes, band_size, max_bucket_width)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -114,15 +166,48 @@ def minhash_near_dups(
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, candidates = docs sharing any
-    shingle (inverted-index join, not cross join)."""
+def ngram_candidates(
+    sh: DataFrame, max_doc_freq: int = MAX_DOC_FREQ
+) -> DataFrame:
+    """Inverted-index candidate pairs with the posting-list frequency cap:
+    shingles appearing in more than max_doc_freq docs are excluded from
+    candidate GENERATION (they'd contribute O(df²) pairs), standard practice
+    that keeps high-Jaccard pairs as long as each shares one cold shingle."""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    cold = sh.join(
+        dfreq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = MAX_DOC_FREQ,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.  Candidates come from the
+    DF-capped inverted index; the Jaccard itself is EXACT (intersection
+    counted over the FULL shingle sets, hot shingles included, restricted to
+    candidate pairs — |cand| × shingles-per-doc work, never df²)."""
     sh = shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    cand = ngram_candidates(sh, max_doc_freq)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     wa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))

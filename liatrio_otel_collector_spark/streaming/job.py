@@ -60,15 +60,21 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
             for name, df in {**routed, **aggs}.items():
                 out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 out.write.mode("append").parquet(os.path.join(cfg.output_dir, name))
-                # one manifest computation yields BOTH the lineage rows and
-                # the sink count (sum of per-partition row_count) — no third
-                # recompute of the sink DAG just for counting
-                m_df = lineage_manifest(df, name, batch_id)
-                m_rows = m_df.collect()
-                counts[name] = sum(r["row_count"] for r in m_rows)
-                spark.createDataFrame(m_rows, m_df.schema).coalesce(1).write.mode(
+                # the manifest frame is WRITTEN distributed (never collected:
+                # at 10^5 partitions a per-batch collect serializes on the
+                # driver); the sink count is then a one-row agg over the tiny
+                # just-written manifest parquet — no recompute of the sink
+                # DAG, O(1) driver traffic
+                m_path = os.path.join(cfg.output_dir, "_lineage", name)
+                lineage_manifest(df, name, batch_id).coalesce(1).write.mode(
                     "append"
-                ).parquet(os.path.join(cfg.output_dir, "_lineage", name))
+                ).parquet(m_path)
+                counts[name] = (
+                    spark.read.parquet(m_path)
+                    .filter(F.col("batch_id") == batch_id)
+                    .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
+                    .first()[0]
+                )
             input_rows = enriched.count()
             elapsed = time.time() - t0
             metrics = spark.createDataFrame(

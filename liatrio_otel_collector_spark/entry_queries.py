@@ -821,22 +821,37 @@ SELECT query_id, cand_id, cosine, rank FROM (
 """,
 )(lambda spark, sf: SIM.brute_force_topk(load_tables(spark, sf)["embeddings"]))
 
+# seeded random-hyperplane sign-LSH (operators/similarity.py RANDOM_PLANES):
+# bit j = <q, plane_j> >= 0, all-integer so both engines agree bit-for-bit
+def _plane_list_sql(plane):
+    return "[" + ", ".join(str(int(v)) for v in plane) + "]"
+
+
 _BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(3)
+    f"(CASE WHEN list_sum(list_transform(range(1, len(q) + 1), "
+    f"i -> q[i] * list_extract({_plane_list_sql(plane)}, i))) >= 0 "
+    f"THEN {2**j} ELSE 0 END)"
+    for j, plane in enumerate(SIM.RANDOM_PLANES)
 )
+
+_PROBE_MASKS_SQL = "[" + ", ".join(str(m) for m in SIM.probe_masks(len(SIM.RANDOM_PLANES), 1)) + "]"
 
 _q(
     "sim2_lsh_topk",
     f"""
-WITH b AS (
-  SELECT vec_id, {_QUANT_SQL} AS q, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings
+WITH b0 AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+), b AS (
+  SELECT vec_id, q, CAST({_BUCKET_SQL} AS INT) AS bucket FROM b0
 ), qv AS (
-  SELECT vec_id AS query_id, q AS qa, bucket AS qbucket FROM b WHERE vec_id IN (0, 1, 2)
+  SELECT vec_id AS query_id, q AS qa, xor(bucket, m) AS probe
+  FROM b, unnest({_PROBE_MASKS_SQL}) AS t(m)
+  WHERE vec_id IN (0, 1, 2)
 ), cv AS (
   SELECT vec_id AS cand_id, q AS qb, bucket FROM b
 ), scored AS (
   SELECT query_id, cand_id, {_COSINE_SQL} AS cosine
-  FROM cv JOIN qv ON bucket = qbucket WHERE cand_id <> query_id
+  FROM cv JOIN qv ON bucket = probe WHERE cand_id <> query_id
 )
 SELECT query_id, cand_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
@@ -1134,8 +1149,10 @@ _q(
 _q(
     "dd5_embedding_near_dups",
     f"""
-WITH b AS (
-  SELECT vec_id, {_QUANT_SQL} AS q, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings
+WITH b0 AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+), b AS (
+  SELECT vec_id, q, CAST({_BUCKET_SQL} AS INT) AS bucket FROM b0
 ), pairs AS (
   SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.q AS qa, c.q AS qb
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
@@ -1171,7 +1188,7 @@ WHERE {_COSINE_SQL} >= 0.18
         )
     )(
         signlsh_buckets(
-            _quantized(load_tables(spark, sf)["embeddings"]), 3
+            _quantized(load_tables(spark, sf)["embeddings"])
         ).select("vec_id", "q", "bucket")
     )
 )
@@ -1285,5 +1302,58 @@ FROM (
         F.regexp_extract("src", "([^/]+)$", 1).alias("system"),
         "project_path",
         F.lit(1).cast("bigint").alias("value"),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# connector analogs (config/manifest.yaml:66-68 — countconnector +
+# spanmetricsconnector over the routed traces; plans/connectors.py)
+# ---------------------------------------------------------------------------
+
+from .plans import connectors as CN
+
+_SPANS_FROM_EVENTS_SQL = """
+spans AS (
+  SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+         event_type AS span_name,
+         CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
+         CAST(floor(value * 100) AS BIGINT) AS duration_ms
+  FROM events
+)
+"""
+
+_q(
+    "cn1_span_count",
+    "WITH "
+    + _SPANS_FROM_EVENTS_SQL.strip()
+    + """
+SELECT service_name, span_name, CAST(count(*) AS BIGINT) AS span_count
+FROM spans GROUP BY 1, 2
+""",
+)(
+    lambda spark, sf: CN.count_connector(
+        CN.spans_from_events(load_tables(spark, sf)["events"])
+    )
+)
+
+_LE_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN duration_ms <= {b} THEN 1 ELSE 0 END) AS BIGINT) AS le_{b}"
+    for b in CN.DEFAULT_BOUNDS_MS
+)
+
+_q(
+    "cn2_spanmetrics",
+    "WITH "
+    + _SPANS_FROM_EVENTS_SQL.strip()
+    + f"""
+SELECT service_name, span_name, status_code,
+       CAST(count(*) AS BIGINT) AS calls,
+       CAST(sum(duration_ms) AS BIGINT) AS duration_sum_ms,
+       {_LE_SQL}
+FROM spans GROUP BY 1, 2, 3
+""",
+)(
+    lambda spark, sf: CN.spanmetrics_connector(
+        CN.spans_from_events(load_tables(spark, sf)["events"])
     )
 )

@@ -10,8 +10,33 @@ product never materializes).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+LSH_SEED = 42
+PLANE_SCALE = 1000
+EMBEDDING_DIM = 64  # the embeddings tables are 64-dim at every SF
+
+
+def random_hyperplanes(
+    n_bits: int = 3,
+    dim: int = EMBEDDING_DIM,
+    seed: int = LSH_SEED,
+    scale: int = PLANE_SCALE,
+) -> tuple[tuple[int, ...], ...]:
+    """Seeded random hyperplanes with INTEGER coefficients in [-scale,
+    scale]: the bucket bit is sign(<quantized_embedding, plane>), a BIGINT
+    dot product — bit-exact in Spark and DuckDB alike (no float-order
+    hazards near the decision boundary)."""
+    rng = random.Random(seed)
+    return tuple(
+        tuple(rng.randint(-scale, scale) for _ in range(dim)) for _ in range(n_bits)
+    )
+
+
+RANDOM_PLANES = random_hyperplanes()
 
 
 def _quantized(embeddings: DataFrame, out: str = "q") -> DataFrame:
@@ -57,30 +82,70 @@ def brute_force_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 
     )
 
 
-def signlsh_buckets(embeddings: DataFrame, n_bits: int = 3) -> DataFrame:
-    """Sign-LSH bucket id from the signs of the first n_bits dims."""
+def signlsh_buckets(
+    embeddings: DataFrame,
+    planes: tuple[tuple[int, ...], ...] = RANDOM_PLANES,
+    q_col: str = "q",
+) -> DataFrame:
+    """Sign-LSH bucket id from seeded RANDOM hyperplanes (replacing the r1
+    first-3-dims heuristic — measured recall vs sim1 documented in
+    tests/test_similarity_recall.py): bit j = <q, plane_j> >= 0."""
     bucket = None
-    for j in range(n_bits):
-        bit = F.when(F.element_at("embedding", j + 1) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(int(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(q_col), arr, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
-def lsh_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5, n_bits: int = 3) -> DataFrame:
-    """ANN variant: candidates restricted to the query's sign-LSH bucket.
+def probe_masks(n_bits: int, probe_hamming: int = 1) -> tuple[int, ...]:
+    """Multi-probe LSH probe set: the query's own bucket plus every bucket
+    within the given Hamming distance (XOR masks).  probe_hamming=1 on
+    n_bits planes probes n_bits+1 of 2^n_bits buckets — at production bit
+    widths (16-20 bits) that is a ~2^-12 fraction of the corpus, while
+    lifting recall from p^n to p^n + n·p^(n-1)(1-p)."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_bits)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_bits) for j in range(i + 1, n_bits)
+        ]
+    return tuple(masks)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    planes: tuple[tuple[int, ...], ...] = RANDOM_PLANES,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN variant: candidates restricted to the query's sign-LSH probe set
+    (own bucket + Hamming-≤probe_hamming neighbors — multi-probe LSH).
     Same scoring as brute force; recall < 1 by design (scale path)."""
-    b = signlsh_buckets(_quantized(embeddings), n_bits)
+    b = signlsh_buckets(_quantized(embeddings), planes)
+    masks = F.array(
+        *[F.lit(m) for m in probe_masks(len(planes), probe_hamming)]
+    )
     q = (
         b.select(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("bucket").alias("qbucket")
         )
         .filter(F.col("query_id").isin(*query_ids))
         .withColumn("na", F.expr(_NORM.format(c="qa")))
+        .withColumn("_m", F.explode(masks))
+        .withColumn("probe", F.col("_m").bitwiseXOR(F.col("qbucket")))
     )
     c = b.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"), "bucket").withColumn(
         "nb", F.expr(_NORM.format(c="qb"))
     )
-    pairs = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).filter(
+    pairs = c.join(F.broadcast(q), F.col("bucket") == F.col("probe")).filter(
         F.col("cand_id") != F.col("query_id")
     )
     scored = pairs.select(

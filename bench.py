@@ -42,13 +42,16 @@ def main() -> None:
     from liatrio_otel_collector_spark.session import get_spark
     from liatrio_otel_collector_spark.sources.sequences import rows_for_sf
 
-    # shuffle/scratch on tmpfs when available: one shared spindle is a
-    # single-box artifact (a cluster has per-node local disks); overridable
-    # via SPARK_GRAFT_LOCAL_DIR
-    if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+    # shuffle AND staging scratch on tmpfs when available: one shared spindle
+    # is a single-box artifact (a cluster has per-node local disks).  TMPDIR
+    # is pinned too — run_pipeline's staged fan-out goes through tempfile, and
+    # an inherited TMPDIR pointing at disk silently moves the hottest IO of
+    # the whole job off tmpfs (the r1 driver-vs-local bench gap).
+    if os.path.isdir("/dev/shm"):
         ram = "/dev/shm/spark-bench"
         os.makedirs(ram, exist_ok=True)
-        os.environ["SPARK_GRAFT_LOCAL_DIR"] = ram
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", ram)
+        os.environ["TMPDIR"] = os.environ.get("SPARK_GRAFT_LOCAL_DIR", ram)
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,20 +60,31 @@ def main() -> None:
     sf = float(sf_name[2:]) if sf_name.startswith("sf") else 0.1
     n_rows = rows_for_sf(SF_DIR)
 
-    # headline e2e uses a >=5M-row sample of the (unbounded, deterministic)
+    # headline e2e uses a >=10M-row sample of the (unbounded, deterministic)
     # sequence table: at small SFs fixed job costs dominate and undersell
-    # sustained throughput — the metric BASELINE.json targets at 10^12 rows
-    e2e_rows = max(n_rows, 5_000_000)
+    # sustained throughput — the metric BASELINE.json targets at 10^12 rows,
+    # and 10M is the regime scripts/scaling_bench.py documents in
+    # BENCH/BASELINE.md, so the two numbers are directly comparable
+    e2e_rows = max(n_rows, 10_000_000)
 
     # full-size warmup: JIT, Python-worker spawn, heap growth land here so
     # the measured run is steady-state
     run_pipeline(spark, e2e_rows)
     # best-of-2 steady-state: single-box hosts show multi-x run-to-run noise
-    # (page cache, neighbor load); the best run is the honest capability number
-    e2e = min(
-        (lambda t0: (run_pipeline(spark, e2e_rows), time.time() - t0)[1])(time.time())
-        for _ in range(2)
-    )
+    # (page cache, neighbor load); the best run is the honest capability
+    # number.  Per-run wall clocks and per-stage splits go into the JSON so
+    # a slow driver-side run is attributable, not mysterious.
+    runs: list[float] = []
+    stage_timings: dict[str, float] = {}
+    for _ in range(2):
+        t_run = {}
+        t0 = time.time()
+        run_pipeline(spark, e2e_rows, timings=t_run)
+        dt = time.time() - t0
+        runs.append(round(dt, 3))
+        if not stage_timings or dt < min(runs[:-1]):
+            stage_timings = t_run
+    e2e = min(runs)
     throughput = e2e_rows / e2e
 
     per_query: dict[str, float] = {"pipeline_e2e": round(e2e, 3)}
@@ -87,6 +101,9 @@ def main() -> None:
         "sf": sf,
         "n_rows": e2e_rows,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+        "e2e_runs_sec": runs,
+        "e2e_stages_sec": stage_timings,
+        "scratch": os.environ.get("TMPDIR", "/tmp"),
     }
     spark.stop()
     import shutil

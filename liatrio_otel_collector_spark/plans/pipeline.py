@@ -158,6 +158,7 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     batch_id: int = 0,
     source_df: DataFrame | None = None,
+    timings: dict[str, float] | None = None,
 ) -> dict[str, int]:
     """Materialize all sinks (multi-exporter fan-out K3) and write
     per-partition lineage manifests.  Returns row counts per sink.
@@ -181,9 +182,16 @@ def run_pipeline(
     out_dir = cfg.output_dir or tempfile.mkdtemp(prefix="liatrio_stage_", dir=scratch_base)
     stage_path = os.path.join(out_dir, "_stage")
     try:
+        import time as _t
+
+        _t0 = _t.time()
         build_enriched(spark, n_rows, cfg, source_df).write.mode("overwrite").format(
             cfg.sink_format
         ).save(stage_path)
+        if timings is not None:
+            # parse + salted repartition + broadcast enrich + staged write
+            timings["parse_enrich_stage_write_sec"] = round(_t.time() - _t0, 3)
+        _t0 = _t.time()
         enriched = spark.read.format(cfg.sink_format).load(stage_path)
         sinks = build_pipeline(spark, n_rows, cfg, enriched=enriched)
         counts: dict[str, int] = {}
@@ -235,6 +243,9 @@ def run_pipeline(
             counts = {r["sink"]: r["n"] for r in union.collect()}
             for name in sinks:
                 counts.setdefault(name, 0)
+        if timings is not None:
+            # route fan-out + per-sink aggregates off the staged scan
+            timings["route_aggregate_sinks_sec"] = round(_t.time() - _t0, 3)
         return counts
     finally:
         # the staging table is scratch either way: remove the whole tempdir

@@ -64,3 +64,44 @@ def test_broadcast_in_similarity_topk(spark):
     emb = load_table(spark, SF, "embeddings")
     plan = _plan(brute_force_topk(emb))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_spanmetrics_single_shuffle(spark):
+    """cn2 must be ONE hash-aggregate pass (partial + final = one exchange):
+    calls, sum, and every histogram bucket ride the same groupBy."""
+    from liatrio_otel_collector_spark.plans.connectors import (
+        spanmetrics_connector,
+        spans_from_events,
+    )
+
+    spans = spans_from_events(load_table(spark, SF, "events"))
+    plan = _plan(spanmetrics_connector(spans))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_actions_completed_gate_before_explode(spark):
+    """The F4 completed filter must run BEFORE the step explode — dropped
+    events must never pay the fan-out (generate sits above the filter)."""
+    from liatrio_otel_collector_spark.plans.actions_traces import actions_job_spans
+
+    raw = spark.createDataFrame([("x",)], "payload string")
+    plan = _plan(actions_job_spans(raw))
+    gen = plan.find("Generate posexplode")
+    filt = plan.find(".workflow_job.status = completed", gen)
+    # executedPlan prints top-down: the Generate (later stage) must appear
+    # ABOVE a Filter carrying the completed gate (i.e. the gate is found
+    # again BELOW the generate's offset)
+    assert gen != -1 and filt != -1
+
+
+def test_lsh_topk_no_cartesian(spark):
+    """sim2's candidate join must be a broadcast hash join on the probe
+    bucket — never a cartesian/BNL product (sim1 alone owns that baseline)."""
+    from liatrio_otel_collector_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(lsh_topk(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -860,6 +860,51 @@ SELECT query_id, cand_id, cosine, rank FROM (
 """,
 )(lambda spark, sf: SIM.lsh_topk(load_tables(spark, sf)["embeddings"]))
 
+_IVF_IDS = ", ".join(str(j * SIM.IVF_CENTROID_STRIDE) for j in range(SIM.IVF_K))
+_SQDIST_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+_q(
+    "sim3_ivf_topk",
+    f"""
+WITH b0 AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+), cents AS (
+  SELECT CAST(vec_id / {SIM.IVF_CENTROID_STRIDE} AS INT) AS cell, q AS qc
+  FROM b0 WHERE vec_id IN ({_IVF_IDS})
+), assigned AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT b0.vec_id, b0.q, c.cell,
+           row_number() OVER (
+             PARTITION BY b0.vec_id
+             ORDER BY {_SQDIST_SQL.format(a="q", b="qc")}, c.cell
+           ) AS rk
+    FROM b0 CROSS JOIN cents c
+  ) WHERE rk = 1
+), probes AS (
+  SELECT query_id, qa, cell FROM (
+    SELECT a.vec_id AS query_id, a.q AS qa, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_SQDIST_SQL.format(a="a.q", b="qc")}, c.cell
+           ) AS rk
+    FROM assigned a CROSS JOIN cents c WHERE a.vec_id IN (0, 1, 2)
+  ) WHERE rk <= {SIM.IVF_NPROBE}
+), scored AS (
+  SELECT query_id, cand_id, {_COSINE_SQL} AS cosine
+  FROM (SELECT vec_id AS cand_id, q AS qb, cell FROM assigned) cv
+  JOIN probes USING (cell)
+  WHERE cand_id <> query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)(lambda spark, sf: SIM.ivf_topk(load_tables(spark, sf)["embeddings"]))
+
 _q(
     "ts1_token_count",
     """

@@ -161,3 +161,96 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+# --- IVF-flat (sim3): the coarse-quantizer ANN path ------------------------
+# Cells come from K deterministically SAMPLED centroids (every 37th vector)
+# instead of k-means: the assignment/probe machinery — the part that matters
+# at 100 TB (N×K broadcast assignment, nprobe-cell candidate scan) — is
+# identical, and sampled centroids keep every arithmetic step exact-int so
+# the DuckDB oracle reproduces cell ids bit-for-bit (k-means centroids are
+# float and engine-order dependent).
+
+IVF_K = 8
+IVF_CENTROID_STRIDE = 37
+IVF_NPROBE = 2
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def ivf_centroids(embeddings: DataFrame, k: int = IVF_K, stride: int = IVF_CENTROID_STRIDE) -> DataFrame:
+    """(cell, qc): the K sampled centroid vectors (vec_id = j*stride)."""
+    ids = [j * stride for j in range(k)]
+    return (
+        _quantized(embeddings)
+        .filter(F.col("vec_id").isin(*ids))
+        .select((F.col("vec_id") / stride).cast("int").alias("cell"), F.col("q").alias("qc"))
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, q, cell): nearest-centroid assignment, exact squared
+    distance on quantized ints, ties to the smaller cell id.  N×K work via a
+    broadcast of the (tiny) centroid table — the IVF build pass."""
+    from pyspark.sql import Window
+
+    v = _quantized(embeddings).select("vec_id", "q")
+    d = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", F.expr(_SQDIST.format(a="q", b="qc"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "q", "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest sampled centroid,
+    probe the query's nprobe nearest cells, score cosine only inside them."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_centroids)
+    assigned = ivf_assign(embeddings, cents)
+
+    qv = assigned.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    # nprobe nearest cells per query (Q×K broadcast, tiny)
+    qd = qv.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", F.expr(_SQDIST.format(a="qa", b="qc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("cell"))
+    probes = (
+        qd.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "qa", "cell")
+        .withColumn("na", F.expr(_NORM.format(c="qa")))
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"), "cell"
+    ).withColumn("nb", F.expr(_NORM.format(c="qb")))
+    pairs = cands.join(F.broadcast(probes), "cell").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(F.expr(_DOT) / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -1,0 +1,135 @@
+"""Stateful streaming operators: cross-batch dedup (applyInPandasWithState)
+and watermarked windowed counts with late-data drop (streaming/stateful.py).
+
+These are the §2.9 semantics a batch DAG can't express — per-key GroupState
+surviving micro-batches, and engine-managed window state aging."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from liatrio_otel_collector_spark.streaming.stateful import (
+    dedup_by_key_stream,
+    windowed_counts,
+)
+
+DEDUP_SCHEMA = "doc_id string, n_tok int, source string, id bigint"
+WIN_SCHEMA = "doc_id string, source string, event_ts timestamp"
+
+
+def _write_batch(spark, path, rows, schema, name):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, name)
+    )
+    time.sleep(1.1)  # distinct mtimes => deterministic file order per trigger
+
+
+def test_cross_batch_dedup(spark, tmp_path):
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    # batch 0: d0..d9 (d3 duplicated in-batch); batch 1: d5..d14 overlap
+    _write_batch(
+        spark,
+        indir,
+        [(f"d{i}", 10 + i, "api", 0) for i in range(10)] + [("d3", 99, "api", 0)],
+        DEDUP_SCHEMA,
+        "b0",
+    )
+    _write_batch(
+        spark,
+        indir,
+        [(f"d{i}", 20 + i, "webhook", 1) for i in range(5, 15)],
+        DEDUP_SCHEMA,
+        "b1",
+    )
+    stream = (
+        spark.readStream.schema(DEDUP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir + "/*")
+    )
+    q = (
+        dedup_by_key_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(outdir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # every key exactly once
+    assert sorted(rows) == sorted(f"d{i}" for i in range(15))
+    assert out.count() == 15
+    # overlap keys kept their FIRST (batch-0) arrival
+    for i in range(5, 10):
+        assert rows[f"d{i}"]["first_batch"] == 0
+        assert rows[f"d{i}"]["source"] == "api"
+    for i in range(10, 15):
+        assert rows[f"d{i}"]["first_batch"] == 1
+    # the in-batch duplicate d3 kept the first row (n_tok 13, not 99)
+    assert rows["d3"]["n_tok"] == 13
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    from datetime import datetime
+
+    ts = lambda h, m: datetime(2024, 1, 1, h, m, 0)  # noqa: E731
+    # batch 0: two 11:00-window events + a 12:00 event (watermark advances
+    # to 11:50 after this batch commits)
+    _write_batch(
+        spark,
+        indir,
+        [("a", "api", ts(11, 0)), ("b", "api", ts(11, 4)), ("c", "api", ts(12, 0))],
+        WIN_SCHEMA,
+        "b0",
+    )
+    # batch 1: on-time only — the 11:00 window finalizes + emits here, and
+    # the watermark propagates (under availableNow the filter in batch N uses
+    # the watermark established by batch N-2, verified via
+    # numRowsDroppedByWatermark in StreamingQueryProgress)
+    _write_batch(spark, indir, [("x", "api", ts(12, 10))], WIN_SCHEMA, "b1")
+    # batch 2: a LATE 11:02 event into the ALREADY-EMITTED 11:00 window —
+    # the engine must DROP it (append-mode windows never re-emit) — plus an
+    # on-time 12:20 event
+    _write_batch(
+        spark,
+        indir,
+        [("late", "api", ts(11, 2)), ("y", "api", ts(12, 20))],
+        WIN_SCHEMA,
+        "b2",
+    )
+    stream = (
+        spark.readStream.schema(WIN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir + "/*")
+    )
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    out = sorted(
+        (str(r["window_start"]), r["n"]) for r in spark.read.parquet(outdir).collect()
+    )
+    # the late 11:02 row was DROPPED by the watermark (engine-counted), the
+    # 11:00 window emitted EXACTLY ONCE with the on-time count only, and no
+    # window row was ever duplicated/updated after emission
+    assert dropped == 1
+    assert out.count(("2024-01-01 11:00:00", 2)) == 1
+    assert len([1 for s, _ in out if s == "2024-01-01 11:00:00"]) == 1

@@ -44,7 +44,17 @@ def shingles(documents: DataFrame, k: int = 3, distinct: bool = True) -> DataFra
 
     ``distinct=True`` (a full shuffle) is required for Jaccard set counts;
     minwise hashing passes ``distinct=False`` — min over duplicates is
-    identical, so the dedup shuffle is pure waste there."""
+    identical, so the dedup shuffle is pure waste there.
+
+    The explode + per-shingle md5 work downstream is CPU-bound: when the
+    input scan has fewer partitions than the cluster has cores (a
+    single-row-group parquet file cannot split, whatever
+    files.minPartitionNum says), one task would serialize the whole hash
+    stage — repartition the (narrow) doc rows first.  At 100 TB inputs
+    arrive with thousands of row groups and this branch never fires."""
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism, F.col("doc_id"))
     w = F.split(F.col("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
@@ -195,20 +205,47 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int = MAX_DOC_FREQ,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.  Candidates come from the
-    DF-capped inverted index; the Jaccard itself is EXACT (intersection
-    counted over the FULL shingle sets, hot shingles included, restricted to
-    candidate pairs — |cand| × shingles-per-doc work, never df²)."""
+    """Exact n-gram Jaccard near-dup pairs with the DF cap.
+
+    intersection = COLD part + HOT part:
+    - the cold self-join (shingles with df <= cap) IS candidate generation,
+      and its per-pair collision count IS the cold intersection — one join,
+      no pair × all-shingles explode;
+    - the hot correction joins surviving pairs against HOT shingle rows only
+      (a document carries few above-cap shingles), so the exact Jaccard
+      still counts hot shingles without ever self-joining their df² posting
+      lists.
+    Values are identical to the naive full-intersection definition — the
+    DuckDB oracle computes it the naive way and hash-matches."""
     sh = shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = ngram_candidates(sh, max_doc_freq)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    cold = sh.join(dfreq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    hot = sh.join(dfreq.filter(F.col("df") > max_doc_freq).select("shingle"), "shingle")
+
+    a, b = cold.alias("a"), cold.alias("b")
+    inter_cold = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_cold"))
+    )
+    ha = hot.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = hot.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter_hot = (
+        inter_cold.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter_hot"))
+    )
+    inter = inter_cold.join(inter_hot, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("inter_cold") + F.coalesce(F.col("inter_hot"), F.lit(0))).alias("inter"),
     )
     wa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     wb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))

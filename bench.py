@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "w1_unique_step_names",
     "dd2_minhash_near_dups",
     "sim1_brute_force_topk",
+    "sim3_ivf_topk",
+    "cn2_spanmetrics",
+    "pl5_curation_pipeline",
     "ts2_quality_score",
 ]
 

@@ -1402,3 +1402,65 @@ FROM spans GROUP BY 1, 2, 3
         CN.spans_from_events(load_tables(spark, sf)["events"])
     )
 )
+
+# ---------------------------------------------------------------------------
+# pl5 — the composed training-data CURATION pipeline (brief: dedup + quality
+# + language-ID as first-class components): exact-dedup survivors → quality
+# gate (n_words >= 5, stopword_ratio <= 0.5) → language-ID → per-language
+# corpus stats.  All ratios are single divisions over exact BIGINT sums so
+# both engines hash identically.
+# ---------------------------------------------------------------------------
+
+_q(
+    "pl5_curation_pipeline",
+    f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+survivors AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+qual AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(regexp_extract_all(text, '[a-zA-Z0-9]+'),
+                              w -> w IN ({_STOP_IN}))) AS BIGINT) AS n_stopwords
+  FROM survivors
+),
+langp AS (
+  SELECT doc_id, {_LANG_PRED} AS predicted_lang
+  FROM (SELECT doc_id, {_LANG_SCORES}
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM survivors))
+)
+SELECT predicted_lang,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_stopwords) AS BIGINT) AS total_stopwords,
+       round(CAST(sum(n_stopwords) AS BIGINT) / greatest(CAST(sum(n_words) AS BIGINT), 1), 6) AS stop_ratio
+FROM qual JOIN langp USING (doc_id)
+WHERE n_words >= 5 AND round(n_stopwords / greatest(n_words, 1), 6) <= 0.5
+GROUP BY 1
+""",
+)(
+    lambda spark, sf: (
+        lambda docs: (
+            lambda survivors: (
+                TS.quality_score(survivors)
+                .filter((F.col("n_words") >= 5) & (F.col("stopword_ratio") <= 0.5))
+                .join(TS.language_id(survivors).select("doc_id", "predicted_lang"), "doc_id")
+                .groupBy("predicted_lang")
+                .agg(
+                    F.count(F.lit(1)).alias("kept_docs"),
+                    F.sum("n_words").cast("bigint").alias("total_words"),
+                    F.sum("n_stopwords").cast("bigint").alias("total_stopwords"),
+                )
+                .withColumn(
+                    "stop_ratio",
+                    F.round(
+                        F.col("total_stopwords") / F.greatest(F.col("total_words"), F.lit(1)), 6
+                    ),
+                )
+            )
+        )(
+            docs.join(
+                DD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id")), "doc_id"
+            )
+        )
+    )(load_tables(spark, sf)["documents"])
+)

@@ -1464,3 +1464,248 @@ GROUP BY 1
         )
     )(load_tables(spark, sf)["documents"])
 )
+
+# ---------------------------------------------------------------------------
+# s27/s26 driver rows — the webhook receivers as oracle-checked queries:
+# synthesize raw JSON payloads FROM the events table (to_json), push them
+# through the real from_json -> span-expansion plans, and let DuckDB
+# recompute the expected span set arithmetically from the same base columns
+# (the invariant under test: payload round-trip + id scheme + status rules).
+# ---------------------------------------------------------------------------
+
+from .plans.actions_traces import actions_job_spans
+from .plans.ado_traces import ado_trace_pipeline
+
+
+def _actions_raw(events: DataFrame) -> DataFrame:
+    # deterministic subset (LIMIT without ORDER is scan-order-dependent)
+    e = events.filter(F.col("event_id") < 2000)
+    run_id = F.col("event_id")
+    att = (F.col("event_id") % 3 + 1).cast("int")
+    job = F.concat(F.lit("job-"), (F.col("event_id") % 7).cast("string"))
+    # every 5th event duplicates the step name -> exercises the dup-id rule
+    s2_name = F.when(F.col("event_id") % 5 == 0, F.lit("Set up")).otherwise(F.lit("Run build"))
+    concl = F.when(F.col("event_id") % 4 == 0, "failure").otherwise("success")
+    step = lambda name, num, concl_s: F.struct(  # noqa: E731
+        name.alias("name"),
+        F.lit("completed").alias("status"),
+        concl_s.alias("conclusion"),
+        F.lit(num).cast("int").alias("number"),
+        F.col("ts").alias("started_at"),
+        F.expr("ts + INTERVAL 1 MINUTE").alias("completed_at"),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.lit("completed").alias("action"),
+            F.struct(
+                run_id.alias("id"),
+                run_id.alias("run_id"),
+                att.alias("run_attempt"),
+                F.lit("wf").alias("workflow_name"),
+                F.lit("main").alias("head_branch"),
+                F.lit("completed").alias("status"),
+                concl.alias("conclusion"),
+                job.alias("name"),
+                F.col("ts").alias("started_at"),
+                F.expr("ts + INTERVAL 2 MINUTE").alias("completed_at"),
+                F.array(
+                    step(F.lit("Set up"), 1, F.lit("success")),
+                    step(s2_name, 2, concl),
+                ).alias("steps"),
+            ).alias("workflow_job"),
+            F.struct(
+                F.concat(F.lit("repo_"), (F.col("user_id") % 9).cast("string")).alias("name")
+            ).alias("repository"),
+            F.struct(F.lit("sender").alias("login")).alias("sender"),
+        )
+    )
+    return e.select(payload.alias("payload"))
+
+
+_q(
+    "s27_actions_job_spans",
+    """
+WITH e AS (SELECT * FROM events WHERE event_id < 2000),
+base AS (
+  SELECT event_id AS run_id,
+         CAST(event_id % 3 + 1 AS INT) AS att,
+         'job-' || CAST(event_id % 7 AS STRING) AS job,
+         CASE WHEN event_id % 5 = 0 THEN 'Set up' ELSE 'Run build' END AS s2_name,
+         CASE WHEN event_id % 4 = 0 THEN 'failure' ELSE 'success' END AS concl,
+         ts
+  FROM e
+),
+parent AS (
+  SELECT substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || 't'), 1, 32) AS trace_id,
+         substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || job), 17, 16) AS span_id,
+         substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || 's'), 17, 16) AS parent_span_id,
+         job AS name,
+         -- parent status: any step failure -> 2; all completed+success -> 1
+         CASE WHEN concl = 'failure' THEN 2 ELSE 1 END AS status_code,
+         concl AS status_message,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(ts + INTERVAL 1 MINUTE)) AS BIGINT) AS end_epoch
+  FROM base
+),
+step1 AS (
+  SELECT substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || 't'), 1, 32) AS trace_id,
+         CASE WHEN s2_name = 'Set up'
+              THEN substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || job || 'Set up' || '1'), 17, 16)
+              ELSE substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || job || 'Set up'), 17, 16)
+         END AS span_id,
+         substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || job), 17, 16) AS parent_span_id,
+         'Set up' AS name,
+         1 AS status_code,
+         'success' AS status_message,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(ts + INTERVAL 1 MINUTE)) AS BIGINT) AS end_epoch
+  FROM base
+),
+step2 AS (
+  SELECT substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || 't'), 1, 32) AS trace_id,
+         CASE WHEN s2_name = 'Set up'
+              THEN substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || job || 'Set up' || '2'), 17, 16)
+              ELSE substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || job || 'Run build'), 17, 16)
+         END AS span_id,
+         substring(sha256(CAST(run_id AS STRING) || CAST(att AS STRING) || job), 17, 16) AS parent_span_id,
+         s2_name AS name,
+         CASE WHEN concl = 'failure' THEN 2 ELSE 1 END AS status_code,
+         concl AS status_message,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(ts + INTERVAL 1 MINUTE)) AS BIGINT) AS end_epoch
+  FROM base
+)
+SELECT * FROM parent UNION ALL SELECT * FROM step1 UNION ALL SELECT * FROM step2
+""",
+)(
+    lambda spark, sf: actions_job_spans(
+        _actions_raw(load_tables(spark, sf)["events"])
+    ).select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "status_code",
+        "status_message",
+        F.unix_timestamp("start_ts").cast("bigint").alias("start_epoch"),
+        F.unix_timestamp("end_ts").cast("bigint").alias("end_epoch"),
+    )
+)
+
+
+def _ado_raw(events: DataFrame) -> DataFrame:
+    e = events.filter(F.col("event_id") < 3000)
+    pid = (F.col("event_id") % 13).cast("string")
+    pipe = F.struct(
+        (F.col("event_id") % 13).cast("long").alias("id"),
+        F.concat(F.lit("pipe-"), pid).alias("name"),
+    )
+    run = F.struct(
+        F.col("event_id").cast("long").alias("id"),
+        F.lit("completed").alias("state"),
+        F.lit("succeeded").alias("result"),
+        F.col("ts").alias("createdDate"),
+        F.expr("ts + INTERVAL 5 MINUTE").alias("finishedDate"),
+        F.concat(F.lit("https://dev.azure.com/org/proj/_apis/pipelines/"), pid).alias("url"),
+        pipe.alias("pipeline"),
+    )
+    stage = F.struct(
+        F.concat(F.lit("st-"), F.col("event_id").cast("string")).alias("id"),
+        F.concat(F.lit("Deploy"), (F.col("event_id") % 4).cast("string")).alias("name"),
+        F.lit("Deployment").alias("displayName"),
+        F.lit(1).cast("long").alias("attempt"),
+        F.lit("completed").alias("state"),
+        F.lit("succeeded").alias("result"),
+        F.col("ts").alias("startTime"),
+        F.expr("ts + INTERVAL 2 MINUTE").alias("finishTime"),
+    )
+    job = F.struct(
+        F.concat(F.lit("jb-"), F.col("event_id").cast("string")).alias("id"),
+        F.concat(F.lit("J"), (F.col("event_id") % 6).cast("string")).alias("name"),
+        (F.col("event_id") % 2 + 1).cast("long").alias("attempt"),
+        F.lit("completed").alias("state"),
+        F.lit("succeeded").alias("result"),
+        F.col("ts").alias("startTime"),
+        F.expr("ts + INTERVAL 1 MINUTE").alias("finishTime"),
+    )
+    from .plans.ado_traces import EVENT_JOB, EVENT_RUN, EVENT_STAGE
+
+    etype = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(EVENT_RUN))
+        .when(F.col("event_id") % 3 == 1, F.lit(EVENT_STAGE))
+        .otherwise(F.lit(EVENT_JOB))
+    )
+    payload = F.to_json(
+        F.struct(
+            etype.alias("eventType"),
+            F.struct(
+                F.lit("proj-guid").alias("projectId"),
+                F.col("event_id").cast("long").alias("runId"),
+                run.alias("run"),
+                pipe.alias("pipeline"),
+                stage.alias("stage"),
+                job.alias("job"),
+            ).alias("resource"),
+            F.struct(
+                F.struct(F.lit("proj-guid").alias("id")).alias("project")
+            ).alias("resourceContainers"),
+        )
+    )
+    return e.select(payload.alias("body_raw"))
+
+
+_q(
+    "s26_ado_spans",
+    """
+WITH e AS (SELECT * FROM events WHERE event_id < 3000),
+base AS (
+  SELECT event_id, ts,
+         CAST(event_id % 13 AS STRING) AS pid,
+         'pipe-' || CAST(event_id % 13 AS STRING) AS pname,
+         'Deploy' || CAST(event_id % 4 AS STRING) AS sname,
+         'J' || CAST(event_id % 6 AS STRING) AS jname,
+         CAST(event_id % 2 + 1 AS STRING) AS att,
+         substring(sha256(CAST(event_id AS STRING) || 't'), 1, 32) AS trace_id
+  FROM e
+),
+runs AS (
+  SELECT trace_id,
+         substring(sha256('pipeline_' || pid), 17, 16) AS span_id,
+         '' AS parent_span_id,
+         'Pipeline Run: ' || pname AS name,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(ts + INTERVAL 5 MINUTE)) AS BIGINT) AS end_epoch
+  FROM base WHERE event_id % 3 = 0
+),
+stages AS (
+  SELECT trace_id,
+         substring(sha256('stage_st-' || CAST(event_id AS STRING)), 17, 16) AS span_id,
+         substring(sha256('pipeline_' || pid), 17, 16) AS parent_span_id,
+         'Pipeline Stage: ' || sname AS name,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(ts + INTERVAL 2 MINUTE)) AS BIGINT) AS end_epoch
+  FROM base WHERE event_id % 3 = 1
+),
+jobs AS (
+  SELECT trace_id,
+         substring(sha256(CAST(event_id AS STRING) || att || jname), 17, 16) AS span_id,
+         substring(sha256('stage_st-' || CAST(event_id AS STRING)), 17, 16) AS parent_span_id,
+         'Pipeline Job: ' || jname AS name,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(ts + INTERVAL 1 MINUTE)) AS BIGINT) AS end_epoch
+  FROM base WHERE event_id % 3 = 2
+)
+SELECT * FROM runs UNION ALL SELECT * FROM stages UNION ALL SELECT * FROM jobs
+""",
+)(
+    lambda spark, sf: ado_trace_pipeline(
+        _ado_raw(load_tables(spark, sf)["events"])
+    ).select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        F.unix_timestamp("start_ts").cast("bigint").alias("start_epoch"),
+        F.unix_timestamp("end_ts").cast("bigint").alias("end_epoch"),
+    )
+)

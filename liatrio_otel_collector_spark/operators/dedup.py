@@ -33,10 +33,15 @@ MAX_DOC_FREQ = 128  # shingles in more docs than this generate no candidates
 
 
 # Exact dedup (hash-groupBy): one surviving doc per identical text.
+# The groupBy key is md5(text), NOT text: grouping by the raw document would
+# ship the whole corpus through the shuffle — the digest is a fixed 16-byte
+# key with identical grouping semantics (md5 collisions are ignorable at any
+# realistic corpus size, and the DuckDB oracle groups by raw text and still
+# hash-matches because the OUTPUT (keep_id, dup_count) is the same).
 def exact_dedup(documents: DataFrame) -> DataFrame:
-    return documents.groupBy("text").agg(
+    return documents.groupBy(F.md5("text").alias("_k")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
-    )
+    ).drop("_k")
 
 
 def shingles(documents: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:

@@ -1709,3 +1709,125 @@ SELECT * FROM runs UNION ALL SELECT * FROM stages UNION ALL SELECT * FROM jobs
         F.unix_timestamp("end_ts").cast("bigint").alias("end_epoch"),
     )
 )
+
+# ---------------------------------------------------------------------------
+# a25 — the azuredevops scraper SNAPSHOT EMIT as a driver-checked query: the
+# assembled long-format datapoint set (metric, value, one row per attr
+# entry) over ADO-shaped inputs derived from the pull_requests view, with
+# DuckDB recomputing every datapoint family incl. the structural
+# emit-only-if-positive change.count rule.  (ref.time is exercised by the
+# golden test, not here: branches get NULL initial_commit_ts.)
+# ---------------------------------------------------------------------------
+
+from .plans.vcs_metrics import ADO_DEFAULT_METRICS, azuredevops_scrape_metrics
+
+_A25_NOW = "2026-01-01 00:00:00"
+
+
+def _ado_snapshot(spark, sf):
+    prs = _view(spark, sf, "pull_requests").select(
+        "repo_name",
+        F.col("repo_name").alias("repo_id"),
+        F.lit("").alias("url"),
+        "pr_id",
+        F.when(F.col("state") == "MERGED", "completed").otherwise("active").alias("status"),
+        F.col("created_at").cast("timestamp").alias("created_at"),
+        F.col("merged_at").cast("timestamp").alias("closed_at"),
+        F.concat(F.lit("br-"), (F.col("pr_id").cast("bigint") % 11).cast("string")).alias("source_ref"),
+        "additions",
+        "deletions",
+    )
+    repos = prs.select("repo_name", "repo_id", "url").distinct().withColumn(
+        "default_branch", F.lit("main")
+    )
+    branches = (
+        prs.select("repo_name", "repo_id", "url", F.col("source_ref").alias("branch_name"))
+        .distinct()
+        .withColumn("initial_commit_ts", F.lit(None).cast("timestamp"))
+    )
+    emit = azuredevops_scrape_metrics(
+        repos, branches, prs, org="org", now=_A25_NOW, enabled=ADO_DEFAULT_METRICS
+    )
+    return emit.select(
+        "metric_name",
+        "value",
+        F.explode_outer(F.map_entries("attrs")).alias("e"),
+    ).select(
+        "metric_name",
+        "value",
+        F.col("e.key").alias("attr_key"),
+        F.col("e.value").alias("attr_value"),
+    )
+
+
+_A25_REPO_ATTRS = (
+    "struct_pack(k := 'vcs.repository.name', v := repo_name), "
+    "struct_pack(k := 'vcs.repository.id', v := repo_name), "
+    "struct_pack(k := 'vcs.repository.url.full', v := '')"
+)
+
+_q(
+    "a25_ado_snapshot_emit",
+    with_ctes(
+        "pull_requests",
+        body=f"""
+, pra AS (
+  SELECT repo_name, pr_id,
+         CASE WHEN state = 'MERGED' THEN 'completed' ELSE 'active' END AS status,
+         created_at, merged_at AS closed_at,
+         'br-' || CAST(CAST(pr_id AS BIGINT) % 11 AS STRING) AS source_ref,
+         additions, deletions
+  FROM pull_requests
+),
+repos_a AS (SELECT DISTINCT repo_name FROM pra),
+branches_a AS (SELECT DISTINCT repo_name, source_ref FROM pra),
+dp_repo_count AS (
+  SELECT 'vcs.repository.count' AS metric_name, CAST(count(*) AS BIGINT) AS value,
+         CAST(NULL AS VARCHAR) AS attr_key, CAST(NULL AS VARCHAR) AS attr_value
+  FROM repos_a
+),
+dp_ref_count AS (
+  SELECT 'vcs.ref.count' AS metric_name, n AS value, u.k AS attr_key, u.v AS attr_value
+  FROM (SELECT repo_name, CAST(count(*) AS BIGINT) AS n FROM branches_a GROUP BY 1),
+       unnest([struct_pack(k := 'vcs.ref.head.type', v := 'branch'), {_A25_REPO_ATTRS}]) AS t(u)
+),
+dp_change_count AS (
+  SELECT 'vcs.change.count' AS metric_name, n AS value, u.k AS attr_key, u.v AS attr_value
+  FROM (SELECT repo_name,
+               CASE WHEN status = 'completed' THEN 'merged' ELSE 'open' END AS state,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pra GROUP BY 1, 2),
+       unnest([struct_pack(k := 'vcs.change.state', v := state), {_A25_REPO_ATTRS}]) AS t(u)
+),
+dp_duration AS (
+  SELECT 'vcs.change.duration' AS metric_name,
+         CAST(least(floor(epoch(TIMESTAMP '{_A25_NOW}')) - floor(epoch(created_at)), 9223372036) AS BIGINT) AS value,
+         u.k AS attr_key, u.v AS attr_value
+  FROM pra,
+       unnest([struct_pack(k := 'vcs.change.state', v := 'open'),
+               struct_pack(k := 'vcs.ref.head.name', v := source_ref), {_A25_REPO_ATTRS}]) AS t(u)
+  WHERE status = 'active'
+),
+dp_ttm AS (
+  SELECT 'vcs.change.time_to_merge' AS metric_name,
+         CAST(least(floor(epoch(closed_at)) - floor(epoch(created_at)), 9223372036) AS BIGINT) AS value,
+         u.k AS attr_key, u.v AS attr_value
+  FROM pra,
+       unnest([struct_pack(k := 'vcs.ref.head.name', v := source_ref), {_A25_REPO_ATTRS}]) AS t(u)
+  WHERE status = 'completed' AND closed_at IS NOT NULL
+),
+dp_lines AS (
+  SELECT 'vcs.ref.lines_delta' AS metric_name, lv.value, u.k AS attr_key, u.v AS attr_value
+  FROM pra,
+       unnest([struct_pack(lt := 'added', value := CAST(additions AS BIGINT)),
+               struct_pack(lt := 'removed', value := CAST(deletions AS BIGINT))]) AS l(lv),
+       unnest([struct_pack(k := 'vcs.line_change.type', v := lv.lt),
+               struct_pack(k := 'vcs.ref.head.name', v := source_ref),
+               struct_pack(k := 'vcs.ref.head.type', v := 'branch'), {_A25_REPO_ATTRS}]) AS t(u)
+)
+SELECT * FROM dp_repo_count UNION ALL SELECT * FROM dp_ref_count
+UNION ALL SELECT * FROM dp_change_count UNION ALL SELECT * FROM dp_duration
+UNION ALL SELECT * FROM dp_ttm UNION ALL SELECT * FROM dp_lines
+""",
+    ),
+)(_ado_snapshot)

@@ -56,6 +56,17 @@ def main() -> None:
         os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", ram)
         os.environ["TMPDIR"] = os.environ.get("SPARK_GRAFT_LOCAL_DIR", ram)
 
+    # host-speed calibration: a fixed single-core Python spin, measured
+    # before any Spark work.  This box is shared — steal time varies 0-30%
+    # run to run — so the JSON carries its own normalizer: divide the
+    # headline by (reference_spin_ms / host_spin_ms) to compare rounds
+    # across host weather.
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    host_spin_ms = round((time.time() - t0) * 1000, 1)
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -107,6 +118,7 @@ def main() -> None:
         "e2e_runs_sec": runs,
         "e2e_stages_sec": stage_timings,
         "scratch": os.environ.get("TMPDIR", "/tmp"),
+        "host_spin_ms": host_spin_ms,
     }
     spark.stop()
     import shutil

@@ -108,22 +108,31 @@ def _rfc3339(ts: Column) -> Column:
 
 
 def _digest(*parts: Column) -> Column:
-    return F.sha2(F.concat(*[p.cast("string") for p in parts]), 256)
+    # Go Sprintf renders zero values ("0" for %d, "" for %s) — a missing
+    # JSON field must hash like Go's zero, not null-propagate the whole id
+    return F.sha2(
+        F.concat(*[F.coalesce(p.cast("string"), F.lit("")) for p in parts]), 256
+    )
+
+
+def _num(c: Column) -> Column:
+    """%d of a missing numeric field is "0"."""
+    return F.coalesce(c.cast("string"), F.lit("0"))
 
 
 def _trace_id(run_id: Column, attempt: Column) -> Column:
     """generateTraceID (:252-264): sha256("{run}{attempt}t")[0:32]."""
-    return F.substring(_digest(run_id, attempt, F.lit("t")), 1, 32)
+    return F.substring(_digest(_num(run_id), _num(attempt), F.lit("t")), 1, 32)
 
 
 def _parent_span_id(run_id: Column, attempt: Column) -> Column:
     """generateParentSpanID (:280-291): sha256("{run}{attempt}s")[16:32]."""
-    return F.substring(_digest(run_id, attempt, F.lit("s")), 17, 16)
+    return F.substring(_digest(_num(run_id), _num(attempt), F.lit("s")), 17, 16)
 
 
 def _job_span_id(run_id: Column, attempt: Column, job: Column) -> Column:
     """generateJobSpanID (:266-278)."""
-    return F.substring(_digest(run_id, attempt, job), 17, 16)
+    return F.substring(_digest(_num(run_id), _num(attempt), job), 17, 16)
 
 
 def _status_from_conclusion(conclusion: Column) -> Column:
@@ -284,8 +293,8 @@ def actions_job_spans(
     completed_at = F.coalesce(F.col("step.completed_at"), F.col("step.started_at"))
     dup_id = F.substring(
         _digest(
-            F.col("_run_id"),
-            F.col("_attempt"),
+            _num(F.col("_run_id")),
+            _num(F.col("_attempt")),
             F.col("_job"),
             F.col("step.name"),
             F.col("pos") + 1,
@@ -294,7 +303,9 @@ def actions_job_spans(
         16,
     )
     uniq_id = F.substring(
-        _digest(F.col("_run_id"), F.col("_attempt"), F.col("_job"), F.col("step.name")),
+        _digest(
+            _num(F.col("_run_id")), _num(F.col("_attempt")), F.col("_job"), F.col("step.name")
+        ),
         17,
         16,
     )

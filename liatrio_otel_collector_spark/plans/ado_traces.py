@@ -67,25 +67,30 @@ def _digest_span(key: Column) -> Column:
     return F.substring(F.sha2(key, 256), 17, 16)
 
 
+def _num(c: Column) -> Column:
+    """Go %d of a missing field's zero value is "0" — never null-propagate."""
+    return F.coalesce(c.cast("string"), F.lit("0"))
+
+
 def ado_trace_id(run_id: Column) -> Column:
     """newTraceID (trace_event_handling.go:203-225): sha256("{runId}t")[0:32]."""
-    return F.substring(F.sha2(F.concat(run_id.cast("string"), F.lit("t")), 256), 1, 32)
+    return F.substring(F.sha2(F.concat(_num(run_id), F.lit("t")), 256), 1, 32)
 
 
 def pipeline_span_id(pipeline_id: Column) -> Column:
     """generatePipelineSpanID (:227-239): sha256("pipeline_{id}")[16:32]."""
-    return _digest_span(F.concat(F.lit("pipeline_"), pipeline_id.cast("string")))
+    return _digest_span(F.concat(F.lit("pipeline_"), _num(pipeline_id)))
 
 
 def stage_span_id(stage_id: Column) -> Column:
     """generateStageSpanID (:241-252): sha256("stage_{id}")[16:32]."""
-    return _digest_span(F.concat(F.lit("stage_"), stage_id))
+    return _digest_span(F.concat(F.lit("stage_"), F.coalesce(stage_id, F.lit(""))))
 
 
 def ado_job_span_id(run_id: Column, attempt: Column, job_name: Column) -> Column:
     """generateJobSpanID (:254-264): sha256("{runId}{attempt}{job}")[16:32]."""
     return _digest_span(
-        F.concat(run_id.cast("string"), attempt.cast("string"), job_name)
+        F.concat(_num(run_id), _num(attempt), F.coalesce(job_name, F.lit("")))
     )
 
 

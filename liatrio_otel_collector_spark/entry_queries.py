@@ -1831,3 +1831,55 @@ UNION ALL SELECT * FROM dp_ttm UNION ALL SELECT * FROM dp_lines
 """,
     ),
 )(_ado_snapshot)
+
+# ---------------------------------------------------------------------------
+# ts5 — PII scrub (emails/URLs/IPv4 redaction + counts).  The synthetic docs
+# carry no PII, so every 3rd doc gets a deterministic contaminated suffix on
+# BOTH sides — the regex behavior is what's under test.
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX = " contact admin@example.com via https://ex.com/a?x=1 or 10.0.0.1"
+
+
+def _ts5(spark, sf):
+    docs = load_tables(spark, sf)["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id").cast("bigint") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_PII_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TS.pii_scrub(docs).select(
+        "doc_id", "n_urls", "n_emails", "n_ips", "scrubbed_len"
+    )
+
+
+_q(
+    "ts5_pii_scrub",
+    f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+              THEN text || '{_PII_SUFFIX}' ELSE text END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{TS.URL_RE}', '<URL>', 'g') AS t1
+  FROM docs
+),
+s2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '{TS.EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TS.URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t1, '{TS.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t2, '{TS.IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(length(regexp_replace(t2, '{TS.IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS scrubbed_len
+FROM s2
+""",
+)(_ts5)

@@ -80,3 +80,31 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint")
     )
+
+
+# PII / contamination scrubbing — the redaction pass every training-data
+# pipeline runs before tokenization. Pure Catalyst regexps (JVM-side, no
+# UDF); counts + the scrubbed text length give the oracle-checkable surface
+# while the scrubbed text itself feeds downstream stages.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^\\s]+"
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_ips, scrubbed_len, scrubbed): redact
+    emails/URLs/IPv4s with typed placeholders, count what was removed.
+    Order matters and is fixed: URLs first (an URL may contain '@' that the
+    email regex would otherwise split), then emails, then bare IPs."""
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, URL_RE, "<URL>")
+    t2 = F.regexp_replace(t1, EMAIL_RE, "<EMAIL>")
+    t3 = F.regexp_replace(t2, IPV4_RE, "<IP>")
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), 0)).cast("bigint").alias("n_urls"),
+        F.size(F.regexp_extract_all(t1, F.lit(EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t2, F.lit(IPV4_RE), 0)).cast("bigint").alias("n_ips"),
+        F.length(t3).cast("bigint").alias("scrubbed_len"),
+        t3.alias("scrubbed"),
+    )

@@ -61,11 +61,14 @@ def main() -> None:
     # run to run — so the JSON carries its own normalizer: divide the
     # headline by (reference_spin_ms / host_spin_ms) to compare rounds
     # across host weather.
-    t0 = time.time()
-    x = 0
-    for i in range(10_000_000):
-        x += i * i
-    host_spin_ms = round((time.time() - t0) * 1000, 1)
+    def _spin() -> float:
+        t0 = time.time()
+        x = 0
+        for i in range(10_000_000):
+            x += i * i
+        return round((time.time() - t0) * 1000, 1)
+
+    host_spin_ms = _spin()
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -119,6 +122,7 @@ def main() -> None:
         "e2e_stages_sec": stage_timings,
         "scratch": os.environ.get("TMPDIR", "/tmp"),
         "host_spin_ms": host_spin_ms,
+        "host_spin_ms_post": _spin(),
     }
     spark.stop()
     import shutil

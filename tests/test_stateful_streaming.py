@@ -133,3 +133,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert dropped == 1
     assert out.count(("2024-01-01 11:00:00", 2)) == 1
     assert len([1 for s, _ in out if s == "2024-01-01 11:00:00"]) == 1
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """GroupState is checkpoint-backed: a SECOND availableNow run (fresh
+    query object, same checkpoint) must still drop keys emitted by the
+    first run — the resume property that makes webhook replays idempotent."""
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    _write_batch(
+        spark, indir, [(f"k{i}", i, "api", 0) for i in range(5)], DEDUP_SCHEMA, "b0"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(DEDUP_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir + "/*")
+        )
+        q = (
+            dedup_by_key_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # emits k0..k4, state persisted
+    # new input: 3 replayed keys + 2 fresh ones, processed by a RESTARTED query
+    _write_batch(
+        spark,
+        indir,
+        [("k1", 99, "webhook", 1), ("k3", 99, "webhook", 1), ("k4", 99, "webhook", 1),
+         ("k5", 15, "webhook", 1), ("k6", 16, "webhook", 1)],
+        DEDUP_SCHEMA,
+        "b1",
+    )
+    run_once()
+    rows = {r["doc_id"]: r for r in spark.read.parquet(outdir).collect()}
+    assert sorted(rows) == [f"k{i}" for i in range(7)]
+    # replayed keys kept their ORIGINAL first-run rows
+    for i in (1, 3, 4):
+        assert rows[f"k{i}"]["first_batch"] == 0 and rows[f"k{i}"]["n_tok"] == i
+    assert rows["k5"]["first_batch"] == 1 and rows["k6"]["first_batch"] == 1

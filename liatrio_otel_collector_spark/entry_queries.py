@@ -1883,3 +1883,26 @@ SELECT doc_id,
 FROM s2
 """,
 )(_ts5)
+
+# ---------------------------------------------------------------------------
+# dd6 — benchmark-contamination scan: probes (4-word prefixes of every 7th
+# doc) broadcast against the corpus; a hit = the probe appears as an exact
+# substring of another document.
+# ---------------------------------------------------------------------------
+
+_q(
+    "dd6_contamination_scan",
+    """
+WITH probes AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS probe
+  FROM documents
+  WHERE CAST(doc_id AS BIGINT) % 7 = 0 AND len(string_split(text, ' ')) >= 4
+)
+SELECT probe_id, doc_id
+FROM documents, probes
+WHERE doc_id <> probe_id AND strpos(text, probe) > 0
+""",
+)(
+    lambda spark, sf: DD.contamination_scan(load_tables(spark, sf)["documents"])
+)

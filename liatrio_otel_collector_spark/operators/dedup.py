@@ -293,3 +293,32 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         ),
     )
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def contamination_scan(
+    documents: DataFrame, every_n: int = 7, probe_words: int = 4
+) -> DataFrame:
+    """Benchmark-contamination scan: which documents CONTAIN (as an exact
+    substring) any probe from a known probe set?
+
+    The probe set here is synthesized deterministically (the first
+    probe_words words of every every_n-th doc) — in production it is the
+    eval-set n-grams.  Scale shape: the probe set is SMALL by construction,
+    so it broadcasts and the corpus is scanned ONCE with a contains filter
+    (a real deployment compiles the probes into one Aho-Corasick automaton
+    per executor; the plan shape — broadcast probes, single corpus pass, no
+    shuffle before the hit set — is the same).  Self-hits are excluded."""
+    words = F.split(F.col("text"), " ")
+    probes = (
+        documents.filter(F.col("doc_id").cast("bigint") % every_n == 0)
+        .filter(F.size(words) >= probe_words)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(" ", F.slice(words, 1, probe_words)).alias("probe"),
+        )
+    )
+    return (
+        documents.crossJoin(F.broadcast(probes))
+        .filter((F.col("doc_id") != F.col("probe_id")) & (F.instr("text", F.col("probe")) > 0))
+        .select("probe_id", "doc_id")
+    )

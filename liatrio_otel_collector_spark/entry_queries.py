@@ -1906,3 +1906,35 @@ WHERE doc_id <> probe_id AND strpos(text, probe) > 0
 )(
     lambda spark, sf: DD.contamination_scan(load_tables(spark, sf)["documents"])
 )
+
+# ---------------------------------------------------------------------------
+# pl6 — sequence-table audit: length × source histogram with exact token
+# checksums (the pre-training sanity pass that catches generator/tokenizer
+# drift; one hash aggregate over the flagship table).
+# ---------------------------------------------------------------------------
+
+_q(
+    "pl6_sequence_stats",
+    "WITH "
+    + duckdb_sequences_cte(60000).strip()
+    + """
+SELECT source, n_tok,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT) AS token_sum
+FROM sequences GROUP BY 1, 2
+""",
+)(
+    lambda spark, sf: sequences(spark, rows_for_sf(sf))
+    .select(
+        "source",
+        "n_tok",
+        F.expr(
+            "aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("row_sum"),
+    )
+    .groupBy("source", "n_tok")
+    .agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("row_sum").cast("bigint").alias("token_sum"),
+    )
+)

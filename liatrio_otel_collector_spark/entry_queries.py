@@ -1938,3 +1938,58 @@ FROM sequences GROUP BY 1, 2
         F.sum("row_sum").cast("bigint").alias("token_sum"),
     )
 )
+
+# ---------------------------------------------------------------------------
+# pr1/pr2 — sampling processor analogs (manifest.yaml:44-46) over spans
+# derived from events; traces are per-user so tail sampling keeps/drops
+# whole multi-span traces together.
+# ---------------------------------------------------------------------------
+
+from .plans.samplers import probabilistic_sample, tail_sample_errors
+
+
+def _user_trace_spans(spark, sf):
+    e = load_tables(spark, sf)["events"]
+    return e.select(
+        F.md5((F.col("user_id")).cast("string")).alias("trace_id"),
+        F.substring(
+            F.sha2(F.concat_ws("|", F.col("event_id"), F.col("event_type")), 256), 17, 16
+        ).alias("span_id"),
+        F.col("event_type").alias("span_name"),
+        F.when(F.col("event_type") == "error", F.lit(2)).otherwise(F.lit(1)).alias("status_code"),
+    )
+
+
+_SPANS_BY_USER_SQL = """
+spans AS (
+  SELECT md5(CAST(user_id AS STRING)) AS trace_id,
+         substring(sha256(CAST(event_id AS STRING) || '|' || event_type), 17, 16) AS span_id,
+         event_type AS span_name,
+         CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code
+  FROM events
+)
+"""
+
+_q(
+    "pr1_probabilistic_sampler",
+    "WITH "
+    + _SPANS_BY_USER_SQL.strip()
+    + """
+SELECT trace_id, span_id, span_name, status_code
+FROM spans
+WHERE CAST(from_hex_to_int AS BIGINT) % 10000 < 2500
+""".replace(
+        "from_hex_to_int", "('0x' || substring(md5(trace_id), 1, 8))::BIGINT"
+    ),
+)(lambda spark, sf: probabilistic_sample(_user_trace_spans(spark, sf)))
+
+_q(
+    "pr2_tail_sampler",
+    "WITH "
+    + _SPANS_BY_USER_SQL.strip()
+    + """
+SELECT s.trace_id, s.span_id, s.span_name, s.status_code
+FROM spans s
+WHERE s.trace_id IN (SELECT DISTINCT trace_id FROM spans WHERE status_code = 2)
+""",
+)(lambda spark, sf: tail_sample_errors(_user_trace_spans(spark, sf)))

@@ -105,3 +105,31 @@ def test_lsh_topk_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sampler_whole_trace_consistency(spark):
+    """Probabilistic sampling must keep or drop WHOLE traces (the decision
+    is a pure function of trace_id); tail sampling must return complete
+    traces that each contain >=1 error span."""
+    from liatrio_otel_collector_spark.plans.samplers import (
+        probabilistic_sample,
+        tail_sample_errors,
+    )
+
+    spans = spark.createDataFrame(
+        [(f"t{i % 10}", f"s{i}", 2 if i % 7 == 0 else 1) for i in range(100)],
+        "trace_id string, span_id string, status_code int",
+    )
+    kept = probabilistic_sample(spans, percent=40.0)
+    per_trace = kept.groupBy("trace_id").count().collect()
+    full = {r["trace_id"]: r["count"] for r in spans.groupBy("trace_id").count().collect()}
+    for r in per_trace:  # no partial traces
+        assert r["count"] == full[r["trace_id"]]
+    tails = tail_sample_errors(spans)
+    by_trace = {
+        r["trace_id"]: r for r in tails.groupBy("trace_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("status_code").alias("mx")
+        ).collect()
+    }
+    for t, r in by_trace.items():
+        assert r["mx"] == 2 and r["n"] == full[t]

@@ -1993,3 +1993,162 @@ FROM spans s
 WHERE s.trace_id IN (SELECT DISTINCT trace_id FROM spans WHERE status_code = 2)
 """,
 )(lambda spark, sf: tail_sample_errors(_user_trace_spans(spark, sf)))
+
+# ---------------------------------------------------------------------------
+# gb1/gt1/iv1 — grouping/compaction processor analogs
+# (manifest.yaml:42,45-46: groupbyattrs, groupbytrace, interval)
+# ---------------------------------------------------------------------------
+
+from .plans.grouping import group_by_attrs, group_by_trace, interval_last
+
+
+def _gb1(spark, sf):
+    # Promote props.k (mod 10) from record scope to resource scope; 'view'
+    # events deliberately lack the attribute to exercise the processor's
+    # keep-original-resource fallback rule.
+    e = load_tables(spark, sf)["events"]
+    rec = e.withColumn(
+        "k_attr",
+        F.when(
+            F.col("event_type") != "view",
+            (F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint") % 10).cast(
+                "string"
+            ),
+        ),
+    )
+    return group_by_attrs(rec, keys=["k_attr"], fallback_resource="event_type")
+
+
+_q(
+    "gb1_groupbyattrs",
+    """
+WITH rec AS (
+  SELECT event_type,
+         CASE WHEN event_type <> 'view'
+              THEN CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS VARCHAR)
+         END AS k_attr
+  FROM events
+)
+SELECT k_attr,
+       CASE WHEN k_attr IS NULL THEN event_type END AS fallback_event_type,
+       CAST(count(*) AS BIGINT) AS record_count,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS merged_resource_count
+FROM rec
+GROUP BY 1, 2
+""",
+)(_gb1)
+
+_q(
+    "gt1_groupbytrace",
+    "WITH "
+    + _SPANS_BY_USER_SQL.strip()
+    + """
+SELECT trace_id,
+       CAST(count(*) AS BIGINT) AS span_count,
+       CAST(SUM(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS error_span_count,
+       CAST(count(DISTINCT span_name) AS BIGINT) AS span_name_count
+FROM spans
+GROUP BY trace_id
+""",
+)(lambda spark, sf: group_by_trace(_user_trace_spans(spark, sf)))
+
+_q(
+    "iv1_interval_last",
+    """
+SELECT user_id, event_type, interval_start, last_value_cents FROM (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS interval_start,
+         CAST(floor(value * 100) AS BIGINT) AS last_value_cents,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) * 60
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)(
+    lambda spark, sf: interval_last(
+        load_tables(spark, sf)["events"],
+        identity=("user_id", "event_type"),
+        ts_col="ts",
+        order_tiebreak="event_id",
+        interval_sec=60,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Driver grading window (VERDICT r2 item 1).
+#
+# The driver grades exactly the FIRST 50 entries of queries() in registration
+# order.  Rounds 1-2 spent both windows on the same 50 head entries, leaving
+# every query registered after them (all r2 additions + 9 r1 carryovers)
+# without a hard-signal CORRECTNESS row.  Rebuild the dict so the window
+# holds: the 21 never-driver-graded queries, the 3 new r3 processor analogs,
+# and 26 flagship rows kept for re-grading; the 24 rotated-out rows are all
+# double-green (identical hash-match in CORRECTNESS_r01 AND _r02) and keep
+# their keys, oracles, and local parity coverage — only dict ORDER moves.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    # never driver-graded (r1/r2 positions 50-70)
+    "s1_repo_search_scan",
+    "s16_oldest_divergent_commit",
+    "s26_ado_spans",
+    "s27_actions_job_spans",
+    "a25_ado_snapshot_emit",
+    "a20_catalog_resource_stats",
+    "a23_terraform_consumer_rows",
+    "w3_latest_deployment_per_service",
+    "u1_union_cve_sources",
+    "f10_repo_substring_filter",
+    "x19_labels_lowercase",
+    "x20_indexed_workflow_attrs",
+    "cn1_span_count",
+    "cn2_spanmetrics",
+    "pr1_probabilistic_sampler",
+    "pr2_tail_sampler",
+    "dd5_embedding_near_dups",
+    "dd6_contamination_scan",
+    "ts5_pii_scrub",
+    "pl5_curation_pipeline",
+    "pl6_sequence_stats",
+    # new in r3
+    "gb1_groupbyattrs",
+    "gt1_groupbytrace",
+    "iv1_interval_last",
+    # flagship rows kept in-window for continuous re-grading
+    "pl1_parse_route_aggregate",
+    "pl2_enrich_rollup",
+    "pl3_trace_ids",
+    "pl4_logs_route_token_equality",
+    "dd1_exact_dedup",
+    "dd2_minhash_near_dups",
+    "dd3_ngram_jaccard_pairs",
+    "dd4_simhash",
+    "sim1_brute_force_topk",
+    "sim2_lsh_topk",
+    "sim3_ivf_topk",
+    "ts2_quality_score",
+    "j1_broadcast_enrich_join",
+    "f8_regex_event_filter",
+    "x4_deterministic_ids",
+    "w1_unique_step_names",
+    "a4_change_time_to_merge",
+    "a5_change_duration",
+    "a6_change_time_to_approval",
+    "a7_ref_revisions_delta",
+    "a11_cve_count",
+    "a12_deployment_count",
+    "a17_work_item_cycle_time",
+    "a18_catalog_component_counts",
+    "a21_terraform_module_consumers",
+    "a24_code_coverage",
+]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
+
+_ORDER = _DRIVER_WINDOW + [k for k in QUERIES if k not in _DRIVER_WINDOW]
+QUERIES = {k: QUERIES[k] for k in _ORDER}
+ORACLES = {k: ORACLES[k] for k in _ORDER if k in ORACLES}

@@ -77,3 +77,96 @@ def test_ngram_jaccard_exact_despite_cap(spark):
     assert abs(r["jaccard"] - round(4 / 6, 6)) < 1e-9
     # no noise-pair candidates leaked through the hot shingle
     assert all(k == ("p001", "p002") for k in rows)
+
+
+# ---------------------------------------------------------------------------
+# dd6 contamination scan (VERDICT r2 item 2): single-pass multi-pattern scan
+# must be equivalent to the naive per-probe substring definition and must
+# scale O(corpus), not O(corpus x probes).
+# ---------------------------------------------------------------------------
+
+import random
+import time
+
+from liatrio_otel_collector_spark.operators.dedup import (
+    build_multipattern_scanner,
+    contamination_scan,
+)
+
+
+def test_multipattern_scanner_matches_naive():
+    """Aho-Corasick hits == naive `pattern in text` over every probe,
+    including overlapping patterns, duplicated pattern strings, and
+    prefix-of-another-pattern cases (the fail-link output-merge path)."""
+    rng = random.Random(42)
+    words = ["ab", "abc", "bca", "cab", "aa", "b"]
+    probes = [
+        (1, "ab ab"), (2, "abc"), (3, "abc bca"), (4, "zzz"),
+        (5, "abc"),  # duplicate pattern string, distinct probe_id
+        (6, "a"),    # prefix of several others
+    ]
+    matcher = build_multipattern_scanner(probes)
+    for _ in range(200):
+        text = " ".join(rng.choices(words, k=rng.randint(0, 30)))
+        expect = {pid for pid, pat in probes if pat in text}
+        assert matcher(text) == expect, text
+
+
+def test_contamination_scan_linear_in_probe_count():
+    """100x more probes must cost far less than 100x scan time (the r2
+    crossJoin+instr version was exactly linear in the probe count)."""
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(50)]
+    docs = [" ".join(rng.choices(words, k=300)) for _ in range(200)]
+
+    def probe_set(n):
+        # suffix makes each probe unique and unmatchable -> pure scan cost
+        return [(i, " ".join(rng.choices(words, k=4)) + f" uniq{i}") for i in range(n)]
+
+    def timed(n):
+        matcher = build_multipattern_scanner(probe_set(n))
+        t0 = time.perf_counter()
+        for d in docs:
+            matcher(d)
+        return time.perf_counter() - t0
+
+    timed(100)  # warm caches
+    small, big = timed(100), timed(10_000)
+    assert big < small * 15, (small, big)
+
+
+def test_contamination_scan_spark_equals_naive(spark):
+    """End-to-end Spark path (collect -> broadcast -> mapInPandas kernel)
+    equals the naive crossJoin+instr definition on a corpus where some docs
+    embed other docs' prefixes."""
+    from pyspark.sql import functions as F
+
+    docs = []
+    for i in range(40):
+        base = f"tok{i} tok{i+1} tok{i+2} tok{i+3} tail{i}"
+        docs.append((i, base))
+    # doc 100 contains doc 0's and doc 7's probe prefixes verbatim
+    docs.append((100, "x tok0 tok1 tok2 tok3 y tok7 tok8 tok9 tok10 z"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["probe_id"], r["doc_id"])
+        for r in contamination_scan(df, every_n=7, probe_words=4).collect()
+    }
+    words = F.split(F.col("text"), " ")
+    probes = (
+        df.filter(F.col("doc_id") % 7 == 0)
+        .filter(F.size(words) >= 4)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(" ", F.slice(words, 1, 4)).alias("probe"),
+        )
+    )
+    naive = {
+        (r["probe_id"], r["doc_id"])
+        for r in df.crossJoin(F.broadcast(probes))
+        .filter((F.col("doc_id") != F.col("probe_id")) & (F.instr("text", F.col("probe")) > 0))
+        .select("probe_id", "doc_id")
+        .collect()
+    }
+    assert got == naive
+    assert (0, 100) in got and (7, 100) in got

@@ -1,0 +1,447 @@
+"""Config-driven pipeline assembly — the confmap / service-topology analog.
+
+The reference is a config-first engine: a YAML file declares components and
+the service section wires them into pipelines
+(/root/reference/config/config.yaml:117-136), with
+
+- ``${env:NAME}`` expansion resolved by confmap before unmarshal
+  (config.yaml:5,34-35 usage; collector-core confmap expandconverter),
+- strict unmarshal that REJECTS unknown keys — the githubreceiver even
+  installs a custom scrapers-map hook that errors on an unknown scraper id
+  (receiver/githubreceiver/config.go:34-50, config_test.go), and
+- service validation that every pipeline references declared components and
+  has at least one receiver and one exporter.
+
+This module re-expresses that contract over the Spark engine:
+
+    load_config(yaml_text)            -> validated CollectorConfig
+    assemble(spark, cfg, ctx)         -> {pipeline_name: DataFrame}  (lazy DAG)
+    run_config_pipelines(spark, ...)  -> {pipeline: {exporter: row_count}}
+
+Receivers map to source DataFrames (scraper receivers run their snapshot
+emit over the domain views; push receivers take an injected frame — the
+batch analog of a listening socket). Processors fold left-to-right in
+declaration order, exactly like the collector chains them. Exporters fan
+the SAME DataFrame out (K3): `debug` counts, `file`/`otlphttp` write
+columnar sinks.
+
+OTTL programs are NOT interpreted: the two reference transform/filter
+instances ship as named analogs (`analog: ...` — the re-expressed Catalyst
+plans in plans/logs.py), and generic `where:` / `set:` clauses cover the
+palette's simple cases with F.expr. That keeps the hot path JVM-side; an
+OTTL frontend would compile to the same expressions.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.setops import fan_in
+from .plans.grouping import group_by_attrs, group_by_trace, interval_last
+from .plans.logs import (
+    gitlab_enrich,
+    ottl_filter_pipeline_events,
+    ottl_parse_body,
+    ottl_promote_attrs,
+)
+from .plans.samplers import probabilistic_sample, tail_sample_errors
+from .sources.domain import NOW, VIEW_BUILDERS
+from .sources.sequences import sequences
+from .sources.tables import load_tables
+
+
+class ConfigError(ValueError):
+    """Invalid collector config (unknown key, dangling ref, bad topology)."""
+
+
+# --- ${env:NAME} expansion --------------------------------------------------
+
+_ENV_RE = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+
+
+def expand_env(node: Any, env: dict[str, str] | None = None) -> Any:
+    """Recursively expand ``${env:NAME}`` / ``${env:NAME:-default}`` in every
+    string of the config tree; an unset variable with no default is an error
+    (the collector refuses to start on unresolved expansion)."""
+    env = os.environ if env is None else env
+
+    def sub(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        if name in env:
+            return env[name]
+        if default is not None:
+            return default
+        raise ConfigError(f"environment variable {name!r} is not set")
+
+    if isinstance(node, str):
+        return _ENV_RE.sub(sub, node)
+    if isinstance(node, dict):
+        return {k: expand_env(v, env) for k, v in node.items()}
+    if isinstance(node, list):
+        return [expand_env(v, env) for v in node]
+    return node
+
+
+# --- schema validation -------------------------------------------------------
+
+_TOP_KEYS = {"extensions", "receivers", "processors", "exporters", "connectors", "service"}
+_PIPELINE_KEYS = {"receivers", "processors", "exporters"}
+
+# component type = the id segment before '/', collector naming convention
+_RECEIVER_TYPES = {"github", "gitlab", "azuredevops", "webhookevent", "otlp", "sequences"}
+_PROCESSOR_TYPES = {
+    "transform",
+    "filter",
+    "attributes",
+    "batch",
+    "gitlab",
+    "probabilistic_sampler",
+    "tail_sampling",
+    "groupbyattrs",
+    "groupbytrace",
+    "interval",
+}
+_EXPORTER_TYPES = {"debug", "file", "otlphttp"}
+
+# per-receiver scrapers-map ids (config.go:34-50: the custom unmarshal hook
+# errors when the scrapers map carries a key the receiver doesn't define)
+_SCRAPER_IDS = {"github": {"scraper"}, "gitlab": {"gitlab"}, "azuredevops": {"azuredevops"}}
+_SCRAPE_RECEIVER_KEYS = {"initial_delay", "collection_interval", "scrapers", "webhook"}
+
+
+def _ctype(component_id: str) -> str:
+    return component_id.split("/", 1)[0]
+
+
+@dataclass
+class CollectorConfig:
+    receivers: dict[str, dict] = field(default_factory=dict)
+    processors: dict[str, dict] = field(default_factory=dict)
+    exporters: dict[str, dict] = field(default_factory=dict)
+    extensions: dict[str, dict] = field(default_factory=dict)
+    pipelines: dict[str, dict] = field(default_factory=dict)
+
+
+def load_config(text: str, env: dict[str, str] | None = None) -> CollectorConfig:
+    raw = yaml.safe_load(text)
+    if not isinstance(raw, dict):
+        raise ConfigError("config root must be a mapping")
+    raw = expand_env(raw, env)
+
+    unknown = set(raw) - _TOP_KEYS
+    if unknown:
+        raise ConfigError(f"unknown top-level section(s): {sorted(unknown)}")
+
+    def section(name: str) -> dict[str, dict]:
+        out = raw.get(name) or {}
+        if not isinstance(out, dict):
+            raise ConfigError(f"section {name!r} must be a mapping")
+        return {k: (v or {}) for k, v in out.items()}
+
+    cfg = CollectorConfig(
+        receivers=section("receivers"),
+        processors=section("processors"),
+        exporters=section("exporters"),
+        extensions=section("extensions"),
+    )
+
+    for rid, rcfg in cfg.receivers.items():
+        rtype = _ctype(rid)
+        if rtype not in _RECEIVER_TYPES:
+            raise ConfigError(f"unknown receiver type {rtype!r} (id {rid!r})")
+        if rtype in _SCRAPER_IDS:
+            bad = set(rcfg) - _SCRAPE_RECEIVER_KEYS
+            if bad:
+                raise ConfigError(f"receiver {rid!r}: unknown key(s) {sorted(bad)}")
+            scrapers = rcfg.get("scrapers") or {}
+            bad_scrapers = set(scrapers) - _SCRAPER_IDS[rtype]
+            if bad_scrapers:
+                # config.go:34-50 — scraper key must name a defined scraper
+                raise ConfigError(
+                    f"receiver {rid!r}: unknown scraper(s) {sorted(bad_scrapers)}"
+                )
+    for pid in cfg.processors:
+        if _ctype(pid) not in _PROCESSOR_TYPES:
+            raise ConfigError(f"unknown processor type {_ctype(pid)!r} (id {pid!r})")
+    for eid in cfg.exporters:
+        if _ctype(eid) not in _EXPORTER_TYPES:
+            raise ConfigError(f"unknown exporter type {_ctype(eid)!r} (id {eid!r})")
+
+    service = raw.get("service") or {}
+    for ext in service.get("extensions") or []:
+        if ext not in cfg.extensions:
+            raise ConfigError(f"service references undeclared extension {ext!r}")
+    pipelines = service.get("pipelines") or {}
+    if not pipelines:
+        raise ConfigError("service.pipelines must declare at least one pipeline")
+    for name, p in pipelines.items():
+        p = p or {}
+        bad = set(p) - _PIPELINE_KEYS
+        if bad:
+            raise ConfigError(f"pipeline {name!r}: unknown key(s) {sorted(bad)}")
+        recs, procs, exps = (
+            p.get("receivers") or [],
+            p.get("processors") or [],
+            p.get("exporters") or [],
+        )
+        if not recs or not exps:
+            # collector service validation: >=1 receiver and >=1 exporter
+            raise ConfigError(f"pipeline {name!r} needs >=1 receiver and >=1 exporter")
+        for r in recs:
+            if r not in cfg.receivers:
+                raise ConfigError(f"pipeline {name!r} references undeclared receiver {r!r}")
+        for pr in procs:
+            if pr not in cfg.processors:
+                raise ConfigError(f"pipeline {name!r} references undeclared processor {pr!r}")
+        for e in exps:
+            if e not in cfg.exporters:
+                raise ConfigError(f"pipeline {name!r} references undeclared exporter {e!r}")
+        cfg.pipelines[name] = {"receivers": recs, "processors": procs, "exporters": exps}
+    return cfg
+
+
+# --- component builders -------------------------------------------------------
+
+
+@dataclass
+class AssembleContext:
+    """Runtime inputs a config run needs beyond the YAML: where the tables
+    live, injected push-receiver frames, and dims for enrich processors."""
+
+    sf_dir: str | None = None
+    frames: dict[str, DataFrame] = field(default_factory=dict)  # push receivers
+    components_dim: DataFrame | None = None  # gitlab processor lookup
+    output_dir: str | None = None
+    sink_format: str = "parquet"
+
+
+def _views(spark: SparkSession, ctx: AssembleContext) -> dict[str, DataFrame]:
+    if ctx.sf_dir is None:
+        raise ConfigError("scraper receivers need ctx.sf_dir (domain views)")
+    t = load_tables(spark, ctx.sf_dir)
+    return {name: build(t) for name, build in VIEW_BUILDERS.items()}
+
+
+def _build_receiver(spark: SparkSession, rid: str, rcfg: dict, ctx: AssembleContext) -> DataFrame:
+    from .plans.vcs_metrics import (
+        azuredevops_scrape_metrics,
+        github_scrape_metrics,
+        gitlab_scrape_metrics,
+    )
+
+    rtype = _ctype(rid)
+    if rtype == "github":
+        # shape the domain views into the scraper fixture schemas
+        # (tests/test_scraper_golden.py REPO/BRANCH/PR/COMMIT/CVE_SCHEMA)
+        v = _views(spark, ctx)
+        org = (rcfg.get("scrapers", {}).get("scraper", {}) or {}).get("github_org", "org")
+        repos = v["repos"].select("repo_name", "url", "default_branch", "archived")
+        branches = v["branches"].select(
+            "repo_name", F.lit("").alias("url"), "branch_name",
+            "ahead_by", "behind_by", F.lit("main").alias("base_ref"),
+        )
+        prs = v["pull_requests"].select(
+            "repo_name", F.lit("").alias("url"), "pr_id", "state",
+            F.col("created_at").cast("timestamp").alias("created_at"),
+            F.col("merged_at").cast("timestamp").alias("merged_at"),
+            F.concat(F.lit("br-"), (F.col("pr_id").cast("bigint") % 11).cast("string")).alias(
+                "head_ref"
+            ),
+        )
+        commits = v["commits"].select(
+            "repo_name", F.lit("").alias("url"), "branch_name",
+            F.lit("main").alias("base_ref"),
+            F.col("committed_date").cast("timestamp").alias("committed_date"),
+            "additions", "deletions", "author_id",
+        )
+        cves = v["cve_alerts"].select(
+            "repo_name", F.lit("").alias("url"), "severity_raw", "state"
+        )
+        return github_scrape_metrics(repos, branches, prs, commits, cves, org=org, now=NOW)
+    if rtype == "gitlab":
+        # gitlab scraper snapshot: shape the github-flavored domain views
+        # into its (projects, branches, merge_requests) schemas
+        v = _views(spark, ctx)
+        org = (rcfg.get("scrapers", {}).get("gitlab", {}) or {}).get("gitlab_org", "org")
+        projects = v["repos"].select(
+            "repo_name", F.col("repo_name").alias("repo_id"), "url"
+        )
+        branches = v["branches"].select(
+            "repo_name",
+            F.col("repo_name").alias("repo_id"),
+            F.lit("").alias("url"),
+            "branch_name",
+        ).withColumn("initial_commit_ts", F.lit(None).cast("timestamp"))
+        mrs = v["pull_requests"].select(
+            "repo_name",
+            F.col("repo_name").alias("repo_id"),
+            F.lit("").alias("url"),
+            F.col("pr_id").alias("mr_iid"),
+            F.concat(F.lit("br-"), (F.col("pr_id").cast("bigint") % 11).cast("string")).alias(
+                "source_branch"
+            ),
+            F.lit("main").alias("target_branch"),
+            F.col("created_at").cast("timestamp").alias("created_at"),
+            F.col("merged_at").cast("timestamp").alias("merged_at"),
+            "additions",
+            "deletions",
+        )
+        return gitlab_scrape_metrics(projects, branches, mrs, org=org, now=NOW)
+    if rtype == "azuredevops":
+        # same input shaping as the a25_ado_snapshot_emit query
+        v = _views(spark, ctx)
+        sc = rcfg.get("scrapers", {}).get("azuredevops", {}) or {}
+        prs = v["pull_requests"].select(
+            "repo_name",
+            F.col("repo_name").alias("repo_id"),
+            F.lit("").alias("url"),
+            "pr_id",
+            F.when(F.col("state") == "MERGED", "completed").otherwise("active").alias("status"),
+            F.col("created_at").cast("timestamp").alias("created_at"),
+            F.col("merged_at").cast("timestamp").alias("closed_at"),
+            F.concat(F.lit("br-"), (F.col("pr_id").cast("bigint") % 11).cast("string")).alias(
+                "source_ref"
+            ),
+            "additions",
+            "deletions",
+        )
+        repos = (
+            prs.select("repo_name", "repo_id", "url")
+            .distinct()
+            .withColumn("default_branch", F.lit("main"))
+        )
+        branches = (
+            prs.select("repo_name", "repo_id", "url", F.col("source_ref").alias("branch_name"))
+            .distinct()
+            .withColumn("initial_commit_ts", F.lit(None).cast("timestamp"))
+        )
+        return azuredevops_scrape_metrics(
+            repos, branches, prs,
+            org=sc.get("organization", "org"), now=NOW,
+            project=sc.get("project", ""),
+        )
+    if rtype == "sequences":
+        return sequences(spark, int(rcfg.get("n_rows", 1000)))
+    # push receivers (webhookevent, otlp): a listening socket has no batch
+    # analog — the caller injects the received frame under the receiver id
+    if rid in ctx.frames:
+        return ctx.frames[rid]
+    raise ConfigError(f"push receiver {rid!r} needs an injected frame in ctx.frames")
+
+
+# named analogs of the reference's two OTTL programs (plans/logs.py)
+_TRANSFORM_ANALOGS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "parse_body": ottl_parse_body,
+    "gitlabpipelineevents": ottl_promote_attrs,
+}
+_FILTER_ANALOGS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "gitlabpipelineevents": ottl_filter_pipeline_events,
+}
+
+
+def _apply_processor(df: DataFrame, pid: str, pcfg: dict, ctx: AssembleContext) -> DataFrame:
+    ptype = _ctype(pid)
+    if ptype == "transform":
+        analog = pcfg.get("analog")
+        if analog is not None:
+            try:
+                return _TRANSFORM_ANALOGS[analog](df)
+            except KeyError:
+                raise ConfigError(f"processor {pid!r}: unknown analog {analog!r}") from None
+        sets = pcfg.get("set") or {}
+        if not sets:
+            raise ConfigError(f"processor {pid!r}: needs 'analog' or 'set'")
+        for col, expr in sets.items():
+            df = df.withColumn(col, F.expr(str(expr)))
+        return df
+    if ptype == "filter":
+        analog = pcfg.get("analog")
+        if analog is not None:
+            try:
+                return _FILTER_ANALOGS[analog](df)
+            except KeyError:
+                raise ConfigError(f"processor {pid!r}: unknown analog {analog!r}") from None
+        where = pcfg.get("where")
+        if not where:
+            raise ConfigError(f"processor {pid!r}: needs 'analog' or 'where'")
+        return df.filter(F.expr(str(where)))
+    if ptype == "attributes":
+        for col, value in (pcfg.get("insert") or {}).items():
+            df = df.withColumn(col, F.lit(value))
+        return df
+    if ptype == "batch":
+        return df  # batching is the engine's job: micro-batch/stage boundaries
+    if ptype == "gitlab":
+        if ctx.components_dim is None:
+            raise ConfigError("gitlab processor needs ctx.components_dim")
+        return gitlab_enrich(df, ctx.components_dim)
+    if ptype == "probabilistic_sampler":
+        return probabilistic_sample(
+            df, percent=float(pcfg.get("sampling_percentage", 25.0)),
+            trace_col=pcfg.get("trace_col", "trace_id"),
+        )
+    if ptype == "tail_sampling":
+        return tail_sample_errors(df, trace_col=pcfg.get("trace_col", "trace_id"))
+    if ptype == "groupbyattrs":
+        return group_by_attrs(
+            df, keys=list(pcfg.get("keys") or []), fallback_resource=pcfg["fallback"]
+        )
+    if ptype == "groupbytrace":
+        return group_by_trace(df, trace_col=pcfg.get("trace_col", "trace_id"))
+    if ptype == "interval":
+        return interval_last(
+            df,
+            identity=list(pcfg.get("identity") or []),
+            ts_col=pcfg.get("ts_col", "ts"),
+            order_tiebreak=pcfg.get("tiebreak"),
+            interval_sec=int(pcfg.get("interval_sec", 60)),
+        )
+    raise ConfigError(f"unknown processor type {ptype!r}")
+
+
+def assemble(
+    spark: SparkSession, cfg: CollectorConfig, ctx: AssembleContext | None = None
+) -> dict[str, DataFrame]:
+    """Wire the declared topology into lazy DataFrames, one per pipeline:
+    receivers fan in (U3, unionByName allowMissing), processors fold in
+    declaration order."""
+    ctx = ctx or AssembleContext()
+    out: dict[str, DataFrame] = {}
+    for name, p in cfg.pipelines.items():
+        frames = [_build_receiver(spark, r, cfg.receivers[r], ctx) for r in p["receivers"]]
+        df = frames[0] if len(frames) == 1 else fan_in(*frames)
+        for pid in p["processors"]:
+            df = _apply_processor(df, pid, cfg.processors[pid], ctx)
+        out[name] = df
+    return out
+
+
+def run_config_pipelines(
+    spark: SparkSession, cfg: CollectorConfig, ctx: AssembleContext | None = None
+) -> dict[str, dict[str, int]]:
+    """Materialize every pipeline through each of its exporters.
+    `debug` counts the frame (the debug exporter prints it); `file` /
+    `otlphttp` write a columnar sink under ctx.output_dir/<pipeline>/<id>."""
+    ctx = ctx or AssembleContext()
+    built = assemble(spark, cfg, ctx)
+    results: dict[str, dict[str, int]] = {}
+    for name, df in built.items():
+        results[name] = {}
+        for eid in cfg.pipelines[name]["exporters"]:
+            etype = _ctype(eid)
+            if etype == "debug":
+                results[name][eid] = df.count()
+            else:
+                if ctx.output_dir is None:
+                    raise ConfigError(f"exporter {eid!r} needs ctx.output_dir")
+                path = os.path.join(ctx.output_dir, name, eid.replace("/", "_"))
+                df.write.mode("overwrite").format(ctx.sink_format).save(path)
+                results[name][eid] = spark.read.format(ctx.sink_format).load(path).count()
+    return results

@@ -1,0 +1,243 @@
+"""Config-driven DAG assembly (VERDICT r2 item 4): the reference's own
+config.yaml topology (config/config.yaml:117-136), re-expressed over the
+Spark engine, must drive a full pipeline run; invalid configs must fail
+validation the way the collector's strict unmarshal does
+(receiver/githubreceiver/config.go:34-50, config_test.go)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from liatrio_otel_collector_spark.confmap import (
+    AssembleContext,
+    ConfigError,
+    assemble,
+    expand_env,
+    load_config,
+    run_config_pipelines,
+)
+from liatrio_otel_collector_spark.plans.logs import log_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+# config/config.yaml re-expressed: same component ids, same service wiring
+# (webhookevent uncommented so the logs pipeline has its declared receiver;
+# otlphttp swapped for a file sink — no network in batch).
+REFERENCE_TOPOLOGY = """
+extensions:
+  bearertokenauth/github:
+    token: ${env:GH_PAT:-unused}
+
+receivers:
+  azuredevops:
+    initial_delay: 10s
+    collection_interval: 6000s
+    scrapers:
+      azuredevops:
+        organization: ${env:ADO_ORG:-my-ado-org}
+        project: proj
+  gitlab:
+    initial_delay: 10s
+    collection_interval: 60s
+    scrapers:
+      gitlab:
+        gitlab_org: ${env:GL_ORG:-my-gl-org}
+  github:
+    initial_delay: 10s
+    collection_interval: 60s
+    scrapers:
+      scraper:
+        github_org: ${env:GH_ORG:-my-gh-org}
+  webhookevent: {}
+
+processors:
+  transform/body:
+    analog: parse_body
+  filter/gitlabpipelineevents:
+    analog: gitlabpipelineevents
+  transform/gitlabpipelineevents:
+    analog: gitlabpipelineevents
+  gitlab: {}
+
+exporters:
+  debug: {}
+  otlphttp/openobserve: {}
+
+service:
+  extensions: [bearertokenauth/github]
+  pipelines:
+    metrics:
+      receivers: [azuredevops, github, gitlab]
+      processors: []
+      exporters: [debug, otlphttp/openobserve]
+    logs:
+      receivers: [webhookevent]
+      processors:
+        - transform/body
+        - filter/gitlabpipelineevents
+        - transform/gitlabpipelineevents
+        - gitlab
+      exporters: [debug]
+    traces:
+      receivers: [azuredevops]
+      processors: []
+      exporters: [debug]
+"""
+
+
+def _pipeline_body(kind="pipeline"):
+    return json.dumps(
+        {
+            "object_kind": kind,
+            "project": {
+                "id": 42,
+                "name": "My Project",
+                "namespace": "my-group",
+                "path_with_namespace": "my-group/my-project",
+                "web_url": "https://gitlab.com/my-group/my-project",
+            },
+            "object_attributes": {
+                "id": 1001,
+                "ref": "main",
+                "sha": "abc123",
+                "url": "u",
+                "status": "success",
+            },
+        }
+    )
+
+
+def _ctx(spark, tmp_path=None):
+    raw_logs = spark.createDataFrame(
+        [(1, _pipeline_body("pipeline")), (2, _pipeline_body("push")), (3, None)],
+        "ts long, body_raw string",
+    )
+    dim = spark.createDataFrame(
+        [("my-group/my-project", "abc123", {"comps/test": "2.0.0"})],
+        "repo_name string, revision string, components map<string,string>",
+    )
+    return AssembleContext(
+        sf_dir=SF,
+        frames={"webhookevent": raw_logs},
+        components_dim=dim,
+        output_dir=str(tmp_path) if tmp_path is not None else None,
+    ), raw_logs, dim
+
+
+def test_reference_topology_runs(spark, tmp_path):
+    cfg = load_config(REFERENCE_TOPOLOGY)
+    assert set(cfg.pipelines) == {"metrics", "logs", "traces"}
+    ctx, raw_logs, dim = _ctx(spark, tmp_path)
+    counts = run_config_pipelines(spark, cfg, ctx)
+
+    # logs pipeline == the hand-wired log_pipeline plan
+    expected_logs = log_pipeline(raw_logs, dim).count()
+    assert counts["logs"]["debug"] == expected_logs == 1
+
+    # metrics pipeline = 3-receiver fan-in; both exporters saw the same rows
+    assert counts["metrics"]["debug"] == counts["metrics"]["otlphttp/openobserve"] > 0
+
+    # traces pipeline = the single ado receiver's frame
+    assembled = assemble(spark, cfg, ctx)
+    assert counts["traces"]["debug"] == assembled["traces"].count() > 0
+
+    # fan-in really is the sum of the per-receiver snapshots
+    per_receiver = sum(
+        assemble(
+            spark,
+            load_config(
+                REFERENCE_TOPOLOGY.replace(
+                    "receivers: [azuredevops, github, gitlab]", f"receivers: [{r}]"
+                )
+            ),
+            ctx,
+        )["metrics"].count()
+        for r in ("azuredevops", "github", "gitlab")
+    )
+    assert counts["metrics"]["debug"] == per_receiver
+
+    # file-style exporter wrote a readable sink
+    written = spark.read.parquet(str(tmp_path / "metrics" / "otlphttp_openobserve"))
+    assert written.count() == counts["metrics"]["debug"]
+
+
+def test_logs_pipeline_output_matches_direct_plan(spark):
+    cfg = load_config(REFERENCE_TOPOLOGY)
+    ctx, raw_logs, dim = _ctx(spark)
+    got = assemble(spark, cfg, ctx)["logs"].collect()
+    want = log_pipeline(raw_logs, dim).collect()
+    assert [r["attrs"] for r in got] == [r["attrs"] for r in want]
+    assert got[0]["attrs"]["component.comps/test.version"] == "2.0.0"
+
+
+def test_env_expansion():
+    env = {"GH_ORG": "liatrio"}
+    assert expand_env("${env:GH_ORG}", env) == "liatrio"
+    assert expand_env("${env:MISSING:-fallback}", env) == "fallback"
+    assert expand_env({"a": ["${env:GH_ORG}"]}, env) == {"a": ["liatrio"]}
+    with pytest.raises(ConfigError, match="MISSING"):
+        expand_env("${env:MISSING}", env)
+    cfg = load_config(REFERENCE_TOPOLOGY, env={"GH_ORG": "liatrio"})
+    assert cfg.receivers["github"]["scrapers"]["scraper"]["github_org"] == "liatrio"
+
+
+@pytest.mark.parametrize(
+    "mutation, match",
+    [
+        # config_test.go analog: unknown key inside a receiver is rejected
+        (("  github:\n", "  github:\n    bogus_key: 1\n"), "unknown key"),
+        # config.go:34-50: scrapers map key must name a defined scraper
+        (("    scrapers:\n      scraper:\n", "    scrapers:\n      notascraper:\n"), "unknown scraper"),
+        # undeclared component referenced from a pipeline
+        (("receivers: [webhookevent]", "receivers: [nosuchreceiver]"), "undeclared receiver"),
+        # unknown component type entirely
+        (("  webhookevent: {}", "  kafkametrics: {}"), "unknown receiver type"),
+        # pipeline without exporters
+        (("      exporters: [debug]\n", "      exporters: []\n"), ">=1 receiver and >=1 exporter"),
+    ],
+)
+def test_invalid_configs_fail_validation(mutation, match):
+    old, new = mutation
+    bad = REFERENCE_TOPOLOGY.replace(old, new, 1)
+    assert bad != REFERENCE_TOPOLOGY
+    with pytest.raises(ConfigError, match=match):
+        load_config(bad)
+
+
+def test_unknown_top_level_section_fails():
+    with pytest.raises(ConfigError, match="unknown top-level"):
+        load_config(REFERENCE_TOPOLOGY + "\nnot_a_section: {}\n")
+
+
+def test_generic_where_and_set_processors(spark):
+    """The generic OTTL-analog clauses compile to Catalyst expressions."""
+    cfg = load_config(
+        """
+receivers:
+  sequences:
+    n_rows: 200
+processors:
+  filter/sev:
+    where: "n_tok > 10"
+  transform/flag:
+    set:
+      is_long: "n_tok > 50"
+  attributes/stamp:
+    insert:
+      collector_name: liatrio-otel-spark
+exporters:
+  debug: {}
+service:
+  pipelines:
+    seqs:
+      receivers: [sequences]
+      processors: [filter/sev, transform/flag, attributes/stamp]
+      exporters: [debug]
+"""
+    )
+    df = assemble(spark, cfg, AssembleContext())["seqs"]
+    assert df.filter("n_tok <= 10").count() == 0
+    assert {"is_long", "collector_name"} <= set(df.columns)
+    assert df.select("collector_name").distinct().collect()[0][0] == "liatrio-otel-spark"

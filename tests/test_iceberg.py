@@ -1,0 +1,98 @@
+"""Iceberg sink proof (VERDICT r2 item 3, BASELINE.md:12).
+
+The north rule names Iceberg tables as the sink substrate; the engine keeps
+`sink_format` pluggable and claims MERGE-idempotent streaming resume (T4).
+These tests PROVE both wherever the Iceberg runtime jars are on the
+classpath, and skip (with the exact spark-submit line documented in
+README.md §Iceberg) where they are not — this container ships no catalog
+jars.
+
+To run green, launch with e.g.:
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+      ...
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture()
+def iceberg_spark(spark, tmp_path):
+    if not _iceberg_available(spark):
+        pytest.skip(
+            "Iceberg runtime jars absent (verified via Class.forName); "
+            "see README §Iceberg for the spark-submit line that enables this test"
+        )
+    # Iceberg catalogs resolve lazily, so runtime conf registration works
+    spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "warehouse"))
+    return spark
+
+
+def test_iceberg_sink_round_trip(iceberg_spark):
+    """K2: a routed sink written as an Iceberg table reads back exactly —
+    row count AND token arrays (the per-row token-array-equality invariant)."""
+    from liatrio_otel_collector_spark.plans.pipeline import PipelineConfig, build_pipeline
+
+    spark = iceberg_spark
+    sinks = build_pipeline(spark, 2000, PipelineConfig())
+    logs = sinks["logs"]
+    logs.writeTo("it.db.logs").using("iceberg").createOrReplace()
+    back = spark.table("it.db.logs")
+    assert back.count() == logs.count()
+    # token-array equality through the sink
+    a = logs.select("doc_id", F.hash("tokens").alias("h"))
+    b = back.select("doc_id", F.hash("tokens").alias("h2"))
+    assert a.join(b, "doc_id").filter("h <> h2").count() == 0
+
+
+def test_iceberg_merge_idempotent_resume(iceberg_spark):
+    """T4: replaying an already-committed micro-batch through MERGE INTO
+    leaves the sink unchanged — the exactly-once resume path a streaming
+    restart takes after a checkpoint/commit race."""
+    from liatrio_otel_collector_spark.plans.pipeline import PipelineConfig, build_pipeline
+
+    spark = iceberg_spark
+    batch = build_pipeline(spark, 1000, PipelineConfig())["logs"]
+    batch.writeTo("it.db.resume").using("iceberg").createOrReplace()
+    n1 = spark.table("it.db.resume").count()
+    batch.createOrReplaceTempView("_replayed_batch")
+    # the same batch, redelivered after a simulated restart
+    spark.sql(
+        """
+        MERGE INTO it.db.resume t
+        USING _replayed_batch s
+        ON t.doc_id = s.doc_id
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert spark.table("it.db.resume").count() == n1
+
+
+def test_run_pipeline_iceberg_format_plumbs_through(iceberg_spark, tmp_path):
+    """sink_format='iceberg' drives the whole fan-out through HadoopTables
+    path-based Iceberg writes with no code changes."""
+    from liatrio_otel_collector_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    out = str(tmp_path / "sinks")
+    counts = run_pipeline(
+        iceberg_spark, 1000, PipelineConfig(output_dir=out, sink_format="iceberg")
+    )
+    assert counts["logs"] > 0 and counts["metrics"] > 0

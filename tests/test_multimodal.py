@@ -57,3 +57,55 @@ def test_frame_sample_grid(spark):
 def test_decode_stub_is_explicit(spark):
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG...")
+
+
+# ---------------------------------------------------------------------------
+# Codec probe (VERDICT r2 item 6): the real Pillow decode path activates
+# wherever the lib imports; in this container the probe documents its absence.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from liatrio_otel_collector_spark.operators.multimodal import (
+    decode_image_stub,
+    pillow_available,
+    real_decode_features,
+)
+
+
+def test_codec_probe_documented():
+    """Either Pillow imports (real path active) or decode raises the
+    documented NotImplementedError naming the probe — never a silent fake."""
+    if pillow_available():
+        import numpy as np
+        from PIL import Image
+        import io
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
+        arr = decode_image_stub(buf.getvalue())
+        assert arr.shape == (4, 4, 3) and arr[0, 0, 0] == 255
+    else:
+        with pytest.raises(NotImplementedError, match="pillow_available"):
+            decode_image_stub(b"\x89PNG\r\n\x1a\n")
+
+
+def test_real_decode_features_golden(spark):
+    """With Pillow present: a generated solid-color PNG decodes through the
+    SAME mapInPandas plumbing as the fake path, and the luminance histogram
+    concentrates in the single expected bin."""
+    if not pillow_available():
+        pytest.skip("Pillow absent in this container (probe documented above)")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (255, 255, 255)).save(buf, format="PNG")  # lum=255 -> bin 15
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", 8, 8, 0, bytearray(buf.getvalue()))],
+        MEDIA_SCHEMA,
+    )
+    [row] = real_decode_features(media).collect()
+    feats = row["features"]
+    assert abs(feats[15] - 1.0) < 1e-6 and sum(feats[:15]) < 1e-6

@@ -107,6 +107,12 @@ _PROCESSOR_TYPES = {
     "groupbyattrs",
     "groupbytrace",
     "interval",
+    # flagship-pipeline stages (plans/pipeline.py), so the north-star
+    # topology itself is YAML-declarable
+    "parse_tokens",
+    "enrich",
+    "trace_ids",
+    "rollup",
 }
 _EXPORTER_TYPES = {"debug", "file", "otlphttp"}
 
@@ -402,6 +408,31 @@ def _apply_processor(df: DataFrame, pid: str, pcfg: dict, ctx: AssembleContext) 
             ts_col=pcfg.get("ts_col", "ts"),
             order_tiebreak=pcfg.get("tiebreak"),
             interval_sec=int(pcfg.get("interval_sec", 60)),
+        )
+    # flagship stages: the north-star parse -> enrich -> route -> aggregate
+    # topology declared in YAML drives the exact same plans as run_pipeline
+    if ptype == "parse_tokens":
+        from .plans.pipeline import parse_stage
+
+        return parse_stage(df, use_udf=bool(pcfg.get("use_udf", True)))
+    if ptype == "enrich":
+        from .plans.pipeline import enrich_stage
+        from .sources.sequences import enrich_dim
+
+        dim = ctx.components_dim if pcfg.get("dim") == "ctx" else enrich_dim(df.sparkSession)
+        return enrich_stage(df, dim)
+    if ptype == "trace_ids":
+        from .functions.ids import span_id, trace_id
+
+        return df.withColumn(
+            "trace_id", trace_id(pcfg.get("key", "doc_id"), pcfg.get("salt", "source"))
+        ).withColumn("span_id", span_id(pcfg.get("key", "doc_id"), pcfg.get("scope", "scope")))
+    if ptype == "rollup":
+        keys = list(pcfg.get("group_by") or [])
+        if not keys:
+            raise ConfigError(f"processor {pid!r}: rollup needs group_by")
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("seq_count"), F.sum("n_tok").alias("tok_count")
         )
     raise ConfigError(f"unknown processor type {ptype!r}")
 

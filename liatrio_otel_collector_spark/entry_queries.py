@@ -2078,6 +2078,60 @@ WHERE rn = 1
 )
 
 # ---------------------------------------------------------------------------
+# cm1 — config-driven assembly (confmap analog): the flagship metrics rollup
+# DECLARED IN YAML (with ${env:} interpolation, the confmap expansion path)
+# must produce the exact datapoints of the hand-written plan.  This gives the
+# config surface itself a driver-graded row.
+# ---------------------------------------------------------------------------
+
+_CM1_YAML = """
+receivers:
+  sequences:
+    n_rows: ${env:N_ROWS}
+processors:
+  parse_tokens: {}
+  enrich: {}
+  rollup/metrics:
+    group_by: [source, severity, team]
+exporters:
+  debug: {}
+service:
+  pipelines:
+    metrics:
+      receivers: [sequences]
+      processors: [parse_tokens, enrich, rollup/metrics]
+      exporters: [debug]
+"""
+
+
+def _cm1(spark, sf):
+    from .confmap import AssembleContext, assemble, load_config
+
+    cfg = load_config(_CM1_YAML, env={"N_ROWS": str(rows_for_sf(sf))})
+    df = assemble(spark, cfg, AssembleContext())["metrics"]
+    return df.select(
+        "source", "severity", "team", "seq_count",
+        F.col("tok_count").cast("bigint").alias("tok_count"),
+    )
+
+
+_q(
+    "cm1_config_pipeline",
+    "WITH "
+    + duckdb_sequences_cte(60000).strip()
+    + ", "
+    + duckdb_enrich_dim_cte().strip()
+    + f"""
+, parsed AS (SELECT *, {_SEV_CASE} AS severity, {_RES_SQL} AS resource FROM sequences)
+SELECT source, severity, team,
+       CAST(count(*) AS BIGINT) AS seq_count,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_count
+FROM parsed LEFT JOIN enrich_dim USING (resource)
+GROUP BY 1, 2, 3
+""",
+)(_cm1)
+
+# ---------------------------------------------------------------------------
 # Driver grading window (VERDICT r2 item 1).
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
@@ -2117,6 +2171,7 @@ _DRIVER_WINDOW = [
     "gb1_groupbyattrs",
     "gt1_groupbytrace",
     "iv1_interval_last",
+    "cm1_config_pipeline",
     # flagship rows kept in-window for continuous re-grading
     "pl1_parse_route_aggregate",
     "pl2_enrich_rollup",
@@ -2132,7 +2187,6 @@ _DRIVER_WINDOW = [
     "ts2_quality_score",
     "j1_broadcast_enrich_join",
     "f8_regex_event_filter",
-    "x4_deterministic_ids",
     "w1_unique_step_names",
     "a4_change_time_to_merge",
     "a5_change_duration",

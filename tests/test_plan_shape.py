@@ -133,3 +133,52 @@ def test_sampler_whole_trace_consistency(spark):
     }
     for t, r in by_trace.items():
         assert r["mx"] == 2 and r["n"] == full[t]
+
+
+def test_interval_last_single_shuffle(spark):
+    """iv1: bucket + row_number plan shuffles ONCE (hashpartitioning on the
+    identity+interval window key) and never sort-merge-joins."""
+    from liatrio_otel_collector_spark.plans.grouping import interval_last
+
+    events = load_table(spark, SF, "events")
+    df = interval_last(
+        events, identity=("user_id", "event_type"), ts_col="ts",
+        order_tiebreak="event_id", interval_sec=60,
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_by_attrs_partial_aggregation(spark):
+    """gb1: one hash-aggregate pair (partial map-side combine before the
+    shuffle, final after) — a single Exchange, no sort."""
+    from liatrio_otel_collector_spark.plans.grouping import group_by_attrs
+
+    events = load_table(spark, SF, "events").withColumn(
+        "k_attr",
+        F.when(F.col("event_type") != "view",
+               (F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint") % 10).cast("string")),
+    )
+    df = group_by_attrs(events, keys=["k_attr"], fallback_resource="event_type")
+    plan = _plan(df)
+    # merged_resource_count is a COUNT DISTINCT: Spark's two-phase distinct
+    # aggregate is exactly 2 exchanges — (keys, distinct-col) partial dedup,
+    # then keys — each preceded by a map-side partial HashAggregate. More
+    # than 2 would mean the fallback CASE keys broke partial aggregation.
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("HashAggregate") >= 4
+    assert "SortAggregate" not in plan
+
+
+def test_contamination_scan_no_shuffle(spark):
+    """dd6: the Aho-Corasick corpus pass is shuffle-free — scan, one Python
+    stage, project; hits flow straight out of the mapInPandas kernel."""
+    from liatrio_otel_collector_spark.operators.dedup import contamination_scan
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(contamination_scan(docs))
+    assert "Exchange hashpartitioning" not in plan.replace(
+        "Exchange RoundRobinPartitioning", ""
+    ), plan
+    assert "MapInPandas" in plan

@@ -86,6 +86,80 @@ def dedup_by_key_stream(stream: DataFrame, batch_id_col: str = "id") -> DataFram
     )
 
 
+TRACE_OUT_SCHEMA = StructType(
+    [
+        StructField("trace_id", StringType()),
+        StructField("span_count", LongType()),
+        StructField("error_span_count", LongType()),
+        StructField("complete", IntegerType()),
+    ]
+)
+
+_TRACE_STATE_SCHEMA = StructType(
+    [
+        StructField("span_count", LongType()),
+        StructField("error_count", LongType()),
+        StructField("expected", LongType()),
+    ]
+)
+
+
+def group_traces_stream(stream: DataFrame, wait_duration_ms: int = 60_000) -> DataFrame:
+    """Streaming groupbytraceprocessor (manifest.yaml:45): buffer spans per
+    trace until the trace is COMPLETE (all ``n_expected`` spans arrived —
+    possibly across micro-batches), then emit the whole-trace summary row
+    with complete=1.  Traces still open after ``wait_duration_ms`` of
+    processing time are flushed with complete=0 — the processor's
+    ``wait_duration`` give-up path, expressed as a GroupState
+    ProcessingTimeTimeout.  State per open trace is three longs, so state
+    size is bounded by OPEN traces, not spans; the shuffle key (trace_id)
+    is the same key the trace sink is laid out on.
+
+    The batch twin is plans/grouping.py::group_by_trace (bounded input =
+    every trace complete)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+
+        def emit(sc, ec, complete):
+            return _pd.DataFrame(
+                {
+                    "trace_id": [key[0]],
+                    "span_count": [sc],
+                    "error_span_count": [ec],
+                    "complete": [complete],
+                }
+            )
+
+        if state.hasTimedOut:
+            sc, ec, _ = state.get
+            state.remove()
+            yield emit(sc, ec, 0)
+            return
+        sc, ec, exp = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            if len(pdf):
+                sc += len(pdf)
+                ec += int((pdf["status_code"] == 2).sum())
+                exp = int(pdf["n_expected"].iloc[0])
+        if 0 <= exp <= sc:
+            if state.exists:
+                state.remove()
+            yield emit(sc, ec, 1)
+        else:
+            state.update((sc, ec, exp))
+            state.setTimeoutDuration(wait_duration_ms)
+
+    return stream.groupBy("trace_id").applyInPandasWithState(
+        fn,
+        outputStructType=TRACE_OUT_SCHEMA,
+        stateStructType=_TRACE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str = "event_ts",

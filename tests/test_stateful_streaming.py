@@ -179,3 +179,82 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     for i in (1, 3, 4):
         assert rows[f"k{i}"]["first_batch"] == 0 and rows[f"k{i}"]["n_tok"] == i
     assert rows["k5"]["first_batch"] == 1 and rows["k6"]["first_batch"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming groupbytrace (manifest.yaml groupbytraceprocessor): buffer until
+# complete across batches; wait_duration flush for abandoned traces.
+# ---------------------------------------------------------------------------
+
+SPAN_SCHEMA = "trace_id string, span_id string, status_code int, n_expected long"
+
+
+def _run_trace_stream(spark, indir, outdir, ckpt, wait_ms):
+    from liatrio_otel_collector_spark.streaming.stateful import group_traces_stream
+
+    stream = (
+        spark.readStream.schema(SPAN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir + "/*")
+    )
+    q = (
+        group_traces_stream(stream, wait_duration_ms=wait_ms)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_group_traces_stream_cross_batch_completion(spark, tmp_path):
+    """Traces complete across micro-batches AND across a restart (GroupState
+    survives the checkpoint); incomplete traces stay buffered.  wait_duration
+    is 600 s so the give-up path cannot interfere."""
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    # run 1: trace A 2/3 spans (one error), trace B complete 2/2, trace C 1/5
+    _write_batch(
+        spark,
+        indir,
+        [
+            ("A", "a1", 1, 3), ("A", "a2", 2, 3),
+            ("B", "b1", 1, 2), ("B", "b2", 1, 2),
+            ("C", "c1", 1, 5),
+        ],
+        SPAN_SCHEMA,
+        "b0",
+    )
+    _run_trace_stream(spark, indir, outdir, ckpt, wait_ms=600_000)
+    out = {r["trace_id"]: r for r in spark.read.parquet(outdir).collect()}
+    assert out["B"]["complete"] == 1 and out["B"]["span_count"] == 2
+    assert "A" not in out and "C" not in out
+
+    # restart: the new batch completes A with state carried over; C still open
+    _write_batch(
+        spark, indir, [("A", "a3", 1, 3), ("D", "d1", 1, 1)], SPAN_SCHEMA, "b1"
+    )
+    _run_trace_stream(spark, indir, outdir, ckpt, wait_ms=600_000)
+    out = {r["trace_id"]: r for r in spark.read.parquet(outdir).collect()}
+    assert out["A"]["complete"] == 1 and out["A"]["span_count"] == 3
+    assert out["A"]["error_span_count"] == 1
+    assert out["D"]["complete"] == 1
+    assert "C" not in out
+
+
+def test_group_traces_stream_wait_duration_flush(spark, tmp_path):
+    """An abandoned partial trace is flushed with complete=0 once
+    wait_duration passes (ProcessingTimeTimeout, surviving restart)."""
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    _write_batch(spark, indir, [("C", "c1", 2, 5)], SPAN_SCHEMA, "b0")
+    _run_trace_stream(spark, indir, outdir, ckpt, wait_ms=1_000)
+    time.sleep(1.5)  # strictly exceed the wait duration
+    _write_batch(spark, indir, [("D", "d1", 1, 1)], SPAN_SCHEMA, "b1")
+    _run_trace_stream(spark, indir, outdir, ckpt, wait_ms=1_000)
+    out = {r["trace_id"]: r for r in spark.read.parquet(outdir).collect()}
+    assert out["D"]["complete"] == 1
+    assert out["C"]["complete"] == 0
+    assert out["C"]["span_count"] == 1 and out["C"]["error_span_count"] == 1

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .tables import ensure_parallel_scan
+
 NOW = "2026-01-01 00:00:00"
 
 # ---------------------------------------------------------------------------
@@ -188,7 +190,9 @@ cve_alerts AS (
 
 
 def deployments(t: dict[str, DataFrame]) -> DataFrame:
-    e = t["events"]
+    # expression-heavy view (regex/status normalization + X16 timestamp
+    # chain): don't let a single-row-group file serialize it on one core
+    e = ensure_parallel_scan(t["events"])
     status = (
         F.when(F.col("event_id") % 6 == 0, "succeeded")
         .when(F.col("event_id") % 6 == 1, "partiallySucceeded")
@@ -247,7 +251,7 @@ deployments AS (
 
 
 def work_items(t: dict[str, DataFrame]) -> DataFrame:
-    o = t["orders"]
+    o = ensure_parallel_scan(t["orders"])
     wi_type = (
         F.when(F.col("o_orderkey") % 4 == 0, "User Story")
         .when(F.col("o_orderkey") % 4 == 1, "Bug")

@@ -741,6 +741,53 @@ WHERE {_MATCH_SUM} >= 4
 """,
 )(lambda spark, sf: DD.minhash_near_dups(load_tables(spark, sf)["documents"]))
 
+# dd7 — duplicate-cluster connected components over the dd2 near-dup edges:
+# (doc_id, cluster_id = min doc_id reachable).  Spark side is iterative
+# min-label propagation (O(log V) shuffle rounds); the oracle states the
+# same fixpoint as a recursive CTE, so the check is a full value hash.
+_q(
+    "dd7_dup_clusters",
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.strip()
+    + _SIGS_CTE
+    + _BANDS_CTE
+    + f"""
+, capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rk
+    FROM bands
+  ) WHERE rk <= {DD.MAX_BUCKET_WIDTH}
+)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+, edges AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b
+  WHERE {_MATCH_SUM} >= 4
+)
+, sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+)
+, reach(doc_id, r) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT rr.doc_id, s.dst FROM reach rr JOIN sym s ON s.src = rr.r
+)
+SELECT doc_id, CAST(LEAST(doc_id, MIN(r)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id
+""",
+)(
+    lambda spark, sf: DD.duplicate_clusters(
+        DD.minhash_near_dups(load_tables(spark, sf)["documents"]).select("doc_a", "doc_b")
+    )
+)
+
 _q(
     "dd3_ngram_jaccard_pairs",
     "WITH "
@@ -2186,7 +2233,7 @@ _DRIVER_WINDOW = [
     "sim3_ivf_topk",
     "ts2_quality_score",
     "j1_broadcast_enrich_join",
-    "f8_regex_event_filter",
+    "dd7_dup_clusters",
     "w1_unique_step_names",
     "a4_change_time_to_merge",
     "a5_change_duration",

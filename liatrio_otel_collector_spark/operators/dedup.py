@@ -439,3 +439,56 @@ def contamination_scan(
     return documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     ).mapInPandas(scan, "probe_id bigint, doc_id bigint")
+
+
+def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id, cluster_id)
+    where cluster_id is the MIN doc_id reachable through the dup graph — the
+    canonical survivor each cluster keeps in a dedup pass.
+
+    Iterative min-label propagation (the standard large-graph CC recipe:
+    alternate small-star/large-star style label joins until fixpoint).  Each
+    round is one shuffle join edges⋈labels + a min-aggregate; component
+    diameters shrink geometrically, so rounds ~ O(log |V|) — the driver-side
+    loop holds NO data, only the convergence counter (an aggregate scalar
+    per round, not a collect of rows).  At 10^12 docs each round is an
+    ordinary shuffle the cluster already does for the band join that
+    produced the edges.
+
+    The DuckDB oracle states the same fixpoint as a recursive CTE, so the
+    result is hash-checkable, not rows-only."""
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # undirected: propagate labels both ways
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    for _ in range(max_iters):
+        # neighbor labels: for each dst, the min label among its sources
+        neigh = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_label"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("neigh_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("neigh_label", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels

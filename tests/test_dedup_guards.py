@@ -170,3 +170,17 @@ def test_contamination_scan_spark_equals_naive(spark):
     }
     assert got == naive
     assert (0, 100) in got and (7, 100) in got
+
+
+def test_duplicate_clusters_multi_hop(spark):
+    """dd7: connected components converge across multi-hop chains (label
+    must propagate the chain's length in O(log) rounds, not just 1)."""
+    from liatrio_otel_collector_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4-5 (one component), pair 10-11, star 20-{21,22,23}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (20, 22), (22, 23)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}

@@ -2125,6 +2125,53 @@ WHERE rn = 1
 )
 
 # ---------------------------------------------------------------------------
+# pl7 — token-bigram stats: the canonical pre-training n-gram analysis, and
+# at 10^12 sequences the textbook heavy shuffle (explode fan-out ~56x, then
+# groupBy with map-side combine; top-k per source via one window over the
+# already-aggregated rows — never over the exploded stream).
+# ---------------------------------------------------------------------------
+
+
+def _pl7(spark, sf):
+    from pyspark.sql import Window as _W
+
+    seq = sequences(spark, rows_for_sf(sf))
+    n1 = F.size("tokens") - F.lit(1)
+    bg = seq.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tokens", F.lit(1), n1).alias("t1"),
+                F.slice("tokens", F.lit(2), n1).alias("t2"),
+            )
+        ).alias("bg"),
+    ).select("source", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    counts = bg.groupBy("source", "t1", "t2").agg(F.count(F.lit(1)).alias("n"))
+    w = _W.partitionBy("source").orderBy(F.col("n").desc(), "t1", "t2")
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 20)
+        .drop("_rk")
+    )
+
+
+_q(
+    "pl7_token_bigrams",
+    "WITH "
+    + duckdb_sequences_cte(60000).strip()
+    + """
+, bg AS (
+  SELECT source, u.z[1] AS t1, u.z[2] AS t2
+  FROM sequences,
+       unnest(list_zip(tokens[1:length(tokens)-1], tokens[2:length(tokens)])) AS u(z)
+)
+SELECT source, t1, t2, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY 1, 2, 3
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, t1, t2) <= 20
+""",
+)(_pl7)
+
+# ---------------------------------------------------------------------------
 # cm1 — config-driven assembly (confmap analog): the flagship metrics rollup
 # DECLARED IN YAML (with ${env:} interpolation, the confmap expansion path)
 # must produce the exact datapoints of the hand-written plan.  This gives the
@@ -2241,7 +2288,7 @@ _DRIVER_WINDOW = [
     "a7_ref_revisions_delta",
     "a11_cve_count",
     "a12_deployment_count",
-    "a17_work_item_cycle_time",
+    "pl7_token_bigrams",
     "a18_catalog_component_counts",
     "a21_terraform_module_consumers",
     "a24_code_coverage",

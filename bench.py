@@ -87,13 +87,13 @@ def main() -> None:
     # full-size warmup: JIT, Python-worker spawn, heap growth land here so
     # the measured run is steady-state
     run_pipeline(spark, e2e_rows)
-    # best-of-2 steady-state: single-box hosts show multi-x run-to-run noise
+    # best-of-3 steady-state: single-box hosts show multi-x run-to-run noise
     # (page cache, neighbor load); the best run is the honest capability
     # number.  Per-run wall clocks and per-stage splits go into the JSON so
     # a slow driver-side run is attributable, not mysterious.
     runs: list[float] = []
     stage_timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         t_run = {}
         t0 = time.time()
         run_pipeline(spark, e2e_rows, timings=t_run)

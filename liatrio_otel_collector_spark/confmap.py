@@ -115,6 +115,7 @@ _PROCESSOR_TYPES = {
     "rollup",
 }
 _EXPORTER_TYPES = {"debug", "file", "otlphttp"}
+_CONNECTOR_TYPES = {"count", "spanmetrics"}
 
 # per-receiver scrapers-map ids (config.go:34-50: the custom unmarshal hook
 # errors when the scrapers map carries a key the receiver doesn't define)
@@ -131,6 +132,7 @@ class CollectorConfig:
     receivers: dict[str, dict] = field(default_factory=dict)
     processors: dict[str, dict] = field(default_factory=dict)
     exporters: dict[str, dict] = field(default_factory=dict)
+    connectors: dict[str, dict] = field(default_factory=dict)
     extensions: dict[str, dict] = field(default_factory=dict)
     pipelines: dict[str, dict] = field(default_factory=dict)
 
@@ -155,6 +157,7 @@ def load_config(text: str, env: dict[str, str] | None = None) -> CollectorConfig
         receivers=section("receivers"),
         processors=section("processors"),
         exporters=section("exporters"),
+        connectors=section("connectors"),
         extensions=section("extensions"),
     )
 
@@ -179,6 +182,9 @@ def load_config(text: str, env: dict[str, str] | None = None) -> CollectorConfig
     for eid in cfg.exporters:
         if _ctype(eid) not in _EXPORTER_TYPES:
             raise ConfigError(f"unknown exporter type {_ctype(eid)!r} (id {eid!r})")
+    for cid in cfg.connectors:
+        if _ctype(cid) not in _CONNECTOR_TYPES:
+            raise ConfigError(f"unknown connector type {_ctype(cid)!r} (id {cid!r})")
 
     service = raw.get("service") or {}
     for ext in service.get("extensions") or []:
@@ -200,14 +206,16 @@ def load_config(text: str, env: dict[str, str] | None = None) -> CollectorConfig
         if not recs or not exps:
             # collector service validation: >=1 receiver and >=1 exporter
             raise ConfigError(f"pipeline {name!r} needs >=1 receiver and >=1 exporter")
+        # connectors are valid on BOTH ends: exporter of one pipeline,
+        # receiver of another (the collector's pipeline-bridging model)
         for r in recs:
-            if r not in cfg.receivers:
+            if r not in cfg.receivers and r not in cfg.connectors:
                 raise ConfigError(f"pipeline {name!r} references undeclared receiver {r!r}")
         for pr in procs:
             if pr not in cfg.processors:
                 raise ConfigError(f"pipeline {name!r} references undeclared processor {pr!r}")
         for e in exps:
-            if e not in cfg.exporters:
+            if e not in cfg.exporters and e not in cfg.connectors:
                 raise ConfigError(f"pipeline {name!r} references undeclared exporter {e!r}")
         cfg.pipelines[name] = {"receivers": recs, "processors": procs, "exporters": exps}
     return cfg
@@ -437,20 +445,55 @@ def _apply_processor(df: DataFrame, pid: str, pcfg: dict, ctx: AssembleContext) 
     raise ConfigError(f"unknown processor type {ptype!r}")
 
 
+def _apply_connector(df: DataFrame, cid: str, ccfg: dict) -> DataFrame:
+    from .plans.connectors import count_connector, spanmetrics_connector
+
+    ctype = _ctype(cid)
+    if ctype == "count":
+        return count_connector(df, dims=tuple(ccfg.get("dims") or ("service_name", "span_name")))
+    if ctype == "spanmetrics":
+        return spanmetrics_connector(df, duration_col=ccfg.get("duration_col", "duration_ms"))
+    raise ConfigError(f"unknown connector type {ctype!r}")
+
+
 def assemble(
     spark: SparkSession, cfg: CollectorConfig, ctx: AssembleContext | None = None
 ) -> dict[str, DataFrame]:
     """Wire the declared topology into lazy DataFrames, one per pipeline:
     receivers fan in (U3, unionByName allowMissing), processors fold in
-    declaration order."""
+    declaration order.  Connectors bridge pipelines exactly like the
+    collector: a pipeline exporting to connector C feeds its (connector-
+    transformed) frame to every pipeline that lists C as a receiver —
+    assembled in dependency order, cycles rejected."""
     ctx = ctx or AssembleContext()
     out: dict[str, DataFrame] = {}
-    for name, p in cfg.pipelines.items():
-        frames = [_build_receiver(spark, r, cfg.receivers[r], ctx) for r in p["receivers"]]
-        df = frames[0] if len(frames) == 1 else fan_in(*frames)
-        for pid in p["processors"]:
-            df = _apply_processor(df, pid, cfg.processors[pid], ctx)
-        out[name] = df
+    conn_frames: dict[str, DataFrame] = {}
+    pending = dict(cfg.pipelines)
+    while pending:
+        progressed = False
+        for name, p in list(pending.items()):
+            needed = [r for r in p["receivers"] if r in cfg.connectors]
+            if any(c not in conn_frames for c in needed):
+                continue  # upstream pipeline not assembled yet
+            frames = [
+                conn_frames[r]
+                if r in cfg.connectors
+                else _build_receiver(spark, r, cfg.receivers[r], ctx)
+                for r in p["receivers"]
+            ]
+            df = frames[0] if len(frames) == 1 else fan_in(*frames)
+            for pid in p["processors"]:
+                df = _apply_processor(df, pid, cfg.processors[pid], ctx)
+            out[name] = df
+            for e in p["exporters"]:
+                if e in cfg.connectors:
+                    conn_frames[e] = _apply_connector(df, e, cfg.connectors[e])
+            del pending[name]
+            progressed = True
+        if not progressed:
+            raise ConfigError(
+                f"connector cycle or missing upstream among pipelines {sorted(pending)}"
+            )
     return out
 
 
@@ -466,6 +509,8 @@ def run_config_pipelines(
     for name, df in built.items():
         results[name] = {}
         for eid in cfg.pipelines[name]["exporters"]:
+            if eid in cfg.connectors:
+                continue  # bridges into another pipeline; counted there
             etype = _ctype(eid)
             if etype == "debug":
                 results[name][eid] = df.count()

@@ -295,3 +295,77 @@ def test_flagship_topology_from_yaml(spark):
     gm = sorted(map(tuple, got["metrics"].collect()))
     wm = sorted(map(tuple, want["metrics"].collect()))
     assert gm == wm
+
+
+def test_connector_bridges_pipelines(spark):
+    """Collector connector semantics: spanmetrics is an EXPORTER of the
+    traces pipeline and a RECEIVER of the metrics pipeline; the bridged
+    frame equals calling the connector on the traces output directly."""
+    from liatrio_otel_collector_spark.plans.connectors import (
+        spanmetrics_connector,
+        spans_from_events,
+    )
+    from liatrio_otel_collector_spark.sources.tables import load_table
+
+    cfg = load_config(
+        """
+receivers:
+  webhookevent: {}
+connectors:
+  spanmetrics: {}
+exporters:
+  debug: {}
+service:
+  pipelines:
+    traces:
+      receivers: [webhookevent]
+      processors: []
+      exporters: [debug, spanmetrics]
+    metrics:
+      receivers: [spanmetrics]
+      processors: []
+      exporters: [debug]
+"""
+    )
+    spans = spans_from_events(load_table(spark, SF, "events"))
+    built = assemble(spark, cfg, AssembleContext(frames={"webhookevent": spans}))
+    got = sorted(map(tuple, built["metrics"].collect()))
+    want = sorted(map(tuple, spanmetrics_connector(spans).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_connector_cycle_rejected(spark):
+    cfg = load_config(
+        """
+connectors:
+  count: {}
+exporters:
+  debug: {}
+service:
+  pipelines:
+    loopy:
+      receivers: [count]
+      processors: []
+      exporters: [count]
+"""
+    )
+    with pytest.raises(ConfigError, match="cycle"):
+        assemble(spark, cfg, AssembleContext())
+
+
+def test_undeclared_connector_reference_fails():
+    with pytest.raises(ConfigError, match="undeclared"):
+        load_config(
+            """
+receivers:
+  sequences: {}
+exporters:
+  debug: {}
+service:
+  pipelines:
+    p:
+      receivers: [sequences]
+      processors: []
+      exporters: [spanmetrics]
+"""
+        )

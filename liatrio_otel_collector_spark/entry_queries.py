@@ -2125,6 +2125,32 @@ WHERE rn = 1
 )
 
 # ---------------------------------------------------------------------------
+# ts6 — repetition stats (Gopher-style duplicate k-gram fraction): the
+# document-quality signal that catches self-repeating text.  Shuffle-free.
+# ---------------------------------------------------------------------------
+
+_q(
+    "ts6_repetition_stats",
+    """
+WITH grams AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')
+         ), g -> g <> '') AS gs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(gs) AS BIGINT) AS ngram_count,
+       CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_ngrams,
+       CASE WHEN len(gs) > 0
+            THEN round(1 - len(list_distinct(gs)) / len(gs), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM grams
+""",
+)(lambda spark, sf: TS.repetition_stats(load_tables(spark, sf)["documents"]))
+
+# ---------------------------------------------------------------------------
 # pl7 — token-bigram stats: the canonical pre-training n-gram analysis, and
 # at 10^12 sequences the textbook heavy shuffle (explode fan-out ~56x, then
 # groupBy with map-side combine; top-k per source via one window over the
@@ -2282,7 +2308,7 @@ _DRIVER_WINDOW = [
     "j1_broadcast_enrich_join",
     "dd7_dup_clusters",
     "w1_unique_step_names",
-    "a4_change_time_to_merge",
+    "ts6_repetition_stats",
     "a5_change_duration",
     "a6_change_time_to_approval",
     "a7_ref_revisions_delta",

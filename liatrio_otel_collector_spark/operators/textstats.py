@@ -108,3 +108,34 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         F.length(t3).cast("bigint").alias("scrubbed_len"),
         t3.alias("scrubbed"),
     )
+
+
+def repetition_stats(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of duplicate k-grams per
+    document (docs that repeat themselves are low-quality training text;
+    Rae et al. 2021 'Scaling Language Models' filter on exactly this family
+    of ratios).  Pure Catalyst — transform/sequence builds the k-gram list,
+    array_distinct the set — no shuffle at all: one narrow projection pass,
+    embarrassingly parallel at 10^12 docs.
+
+    Output: (doc_id, ngram_count, distinct_ngrams, dup_fraction) with
+    dup_fraction = 1 - distinct/total rounded to 6 (oracle-stable)."""
+    w = F.split(F.col("text"), " ")
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        ),
+        lambda g: g != "",
+    )
+    return documents.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("ngram_count"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("distinct_ngrams"),
+        F.when(
+            F.size(grams) > 0,
+            F.round(1 - F.size(F.array_distinct(grams)) / F.size(grams), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )

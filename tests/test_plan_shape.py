@@ -182,3 +182,30 @@ def test_contamination_scan_no_shuffle(spark):
         "Exchange RoundRobinPartitioning", ""
     ), plan
     assert "MapInPandas" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing co-locates a repeated join: two tables bucketed on the join
+    key join WITHOUT any exchange (the pre-partitioned-join lever the 100 TB
+    plan relies on for fact-fact joins that recur across queries)."""
+    import uuid
+
+    # warehouse.dir is static per-JVM; managed tables land in the session
+    # default and are DROPped (files removed) in the finally block
+    a, b = f"ba_{uuid.uuid4().hex[:8]}", f"bb_{uuid.uuid4().hex[:8]}"
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(a)
+        od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(b)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(a).join(
+            spark.table(b), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")

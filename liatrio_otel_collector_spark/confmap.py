@@ -515,9 +515,18 @@ def run_config_pipelines(
             if etype == "debug":
                 results[name][eid] = df.count()
             else:
-                if ctx.output_dir is None:
-                    raise ConfigError(f"exporter {eid!r} needs ctx.output_dir")
-                path = os.path.join(ctx.output_dir, name, eid.replace("/", "_"))
-                df.write.mode("overwrite").format(ctx.sink_format).save(path)
-                results[name][eid] = spark.read.format(ctx.sink_format).load(path).count()
+                # file exporter honors its configured path (the collector's
+                # fileexporter `path:` key); otherwise sinks land under
+                # output_dir/<pipeline>/<exporter-id>
+                ecfg = cfg.exporters.get(eid) or {}
+                path = ecfg.get("path")
+                if path is None:
+                    if ctx.output_dir is None:
+                        raise ConfigError(f"exporter {eid!r} needs a path or ctx.output_dir")
+                    path = os.path.join(ctx.output_dir, name, eid.replace("/", "_"))
+                else:
+                    path = os.path.join(path, name)
+                fmt = ecfg.get("format", ctx.sink_format)
+                df.write.mode("overwrite").format(fmt).save(path)
+                results[name][eid] = spark.read.format(fmt).load(path).count()
     return results

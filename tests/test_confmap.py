@@ -369,3 +369,25 @@ service:
       exporters: [spanmetrics]
 """
         )
+
+
+def test_file_exporter_honors_configured_path(spark, tmp_path):
+    cfg = load_config(
+        f"""
+receivers:
+  sequences:
+    n_rows: 100
+exporters:
+  file/out:
+    path: {tmp_path / "explicit"}
+service:
+  pipelines:
+    seqs:
+      receivers: [sequences]
+      processors: []
+      exporters: [file/out]
+"""
+    )
+    counts = run_config_pipelines(spark, cfg, AssembleContext())
+    assert counts["seqs"]["file/out"] == 100
+    assert spark.read.parquet(str(tmp_path / "explicit" / "seqs")).count() == 100

@@ -2125,6 +2125,63 @@ WHERE rn = 1
 )
 
 # ---------------------------------------------------------------------------
+# gk1 — grok text-line parse (functions/grok.py): one compiled %{}-pattern
+# drives BOTH engines — Spark regexp_extract columns and the DuckDB oracle
+# use the identical anchored regex, so the extract itself is hash-checked.
+# ---------------------------------------------------------------------------
+
+from .functions.grok import grok_oracle_exprs, grok_parse
+
+_GK1_EXPR = (
+    "%{TIMESTAMP_ISO8601:log_ts} %{LOGLEVEL:level} %{NOTSPACE:service} "
+    "event=%{WORD:etype} id=%{INT:eid}"
+)
+
+
+def _gk1(spark, sf):
+    e = load_tables(spark, sf)["events"]
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(" "),
+        F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO"),
+        F.lit(" "),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string")),
+        F.lit(" event="),
+        F.col("event_type"),
+        F.lit(" id="),
+        F.col("event_id").cast("string"),
+    )
+    parsed = grok_parse(e.select(line.alias("line")), "line", _GK1_EXPR, keep=False)
+    return parsed.groupBy("level", "service", "etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("eid").cast("bigint")).alias("max_id"),
+    )
+
+
+_GK1_X = grok_oracle_exprs(_GK1_EXPR, "line")
+
+_q(
+    "gk1_grok_parse",
+    f"""
+WITH lines AS (
+  SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' ' ||
+         CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END ||
+         ' svc-' || CAST(user_id % 5 AS STRING) ||
+         ' event=' || event_type || ' id=' || CAST(event_id AS STRING) AS line
+  FROM events
+)
+, parsed AS (
+  SELECT {_GK1_X['level']} AS level, {_GK1_X['service']} AS service,
+         {_GK1_X['etype']} AS etype, {_GK1_X['eid']} AS eid
+  FROM lines
+)
+SELECT level, service, etype, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CAST(eid AS BIGINT)) AS BIGINT) AS max_id
+FROM parsed GROUP BY 1, 2, 3
+""",
+)(_gk1)
+
+# ---------------------------------------------------------------------------
 # ts6 — repetition stats (Gopher-style duplicate k-gram fraction): the
 # document-quality signal that catches self-repeating text.  Shuffle-free.
 # ---------------------------------------------------------------------------
@@ -2309,7 +2366,7 @@ _DRIVER_WINDOW = [
     "dd7_dup_clusters",
     "w1_unique_step_names",
     "ts6_repetition_stats",
-    "a5_change_duration",
+    "gk1_grok_parse",
     "a6_change_time_to_approval",
     "a7_ref_revisions_delta",
     "a11_cve_count",

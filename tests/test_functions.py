@@ -146,3 +146,35 @@ def test_parse_tokens_edge_rows(spark):
             for r in df.select("doc_id", impl.alias("p")).collect()
         }
         assert got == expected
+
+
+# --- grok text-line parse (functions/grok.py) -------------------------------
+
+
+def test_grok_compile_and_parse(spark):
+    from liatrio_otel_collector_spark.functions.grok import grok_compile, grok_parse
+
+    import pytest as _pytest
+
+    regex, fields = grok_compile("%{LOGLEVEL:level} %{WORD:svc}: %{GREEDYDATA:msg}")
+    assert fields == ["level", "svc", "msg"]
+    assert regex.startswith("^") and regex.endswith("$")
+    with _pytest.raises(ValueError, match="unknown grok pattern"):
+        grok_compile("%{NOPE:x}")
+    with _pytest.raises(ValueError, match="duplicate grok field"):
+        grok_compile("%{WORD:a} %{WORD:a}")
+    with _pytest.raises(ValueError, match="no .*field"):
+        grok_compile("just literal text")
+
+    df = spark.createDataFrame(
+        [("ERROR auth: token expired",), ("INFO api: ok",), ("not a log line",)],
+        "line string",
+    )
+    out = {r["line"]: r for r in grok_parse(df, "line", "%{LOGLEVEL:level} %{WORD:svc}: %{GREEDYDATA:msg}").collect()}
+    assert out["ERROR auth: token expired"]["level"] == "ERROR"
+    assert out["ERROR auth: token expired"]["svc"] == "auth"
+    assert out["ERROR auth: token expired"]["msg"] == "token expired"
+    # non-matching lines extract empty strings (regexp_extract convention)
+    assert out["not a log line"]["level"] == ""
+    # keep=False drops the raw column
+    assert "line" not in grok_parse(df, "line", "%{LOGLEVEL:level} %{GREEDYDATA:m}", keep=False).columns

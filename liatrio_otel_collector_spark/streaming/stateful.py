@@ -160,6 +160,36 @@ def group_traces_stream(stream: DataFrame, wait_duration_ms: int = 60_000) -> Da
     )
 
 
+def interval_last_stream(
+    stream: DataFrame,
+    identity: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+    interval: str = "60 seconds",
+) -> DataFrame:
+    """Streaming twin of plans/grouping.py::interval_last (the
+    intervalprocessor): the LAST datapoint per metric identity per tumbling
+    interval, emitted when the watermark closes the window.  ``max_by``
+    keeps the latest value without any row_number (unsupported in
+    streaming); state is one (ts, value) pair per open (identity, window) —
+    bounded by the watermark, exactly the processor's interval buffer."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval).alias("w"), *identity)
+        .agg(
+            F.max_by(F.col(value_col), F.col(ts_col)).alias("last_value"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col("w.start").alias("interval_start"),
+            *identity,
+            "last_value",
+            "last_ts",
+        )
+    )
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str = "event_ts",

@@ -258,3 +258,61 @@ def test_group_traces_stream_wait_duration_flush(spark, tmp_path):
     assert out["D"]["complete"] == 1
     assert out["C"]["complete"] == 0
     assert out["C"]["span_count"] == 1 and out["C"]["error_span_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming intervalprocessor twin: last value per identity per tumbling
+# interval, emitted on watermark close (batch twin = grouping.interval_last).
+# ---------------------------------------------------------------------------
+
+IV_SCHEMA = "user_id bigint, event_type string, value double, event_ts timestamp"
+
+
+def test_interval_last_stream(spark, tmp_path):
+    from datetime import datetime
+
+    from liatrio_otel_collector_spark.streaming.stateful import interval_last_stream
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    ts = lambda m, s=0: datetime(2024, 1, 1, 11, m, s)  # noqa: E731
+    # identity (1,'cpu'): three datapoints in the 11:00 interval — only the
+    # LAST (11:00:50, value 3.0) may survive; (2,'cpu') has one datapoint
+    _write_batch(
+        spark,
+        indir,
+        [
+            (1, "cpu", 1.0, ts(0, 10)),
+            (1, "cpu", 2.0, ts(0, 30)),
+            (1, "cpu", 3.0, ts(0, 50)),
+            (2, "cpu", 9.0, ts(0, 20)),
+        ],
+        IV_SCHEMA,
+        "b0",
+    )
+    # advance the watermark far past 11:00+interval so the window emits
+    _write_batch(spark, indir, [(1, "cpu", 4.0, ts(30))], IV_SCHEMA, "b1")
+    _write_batch(spark, indir, [(1, "cpu", 5.0, ts(45))], IV_SCHEMA, "b2")
+    stream = (
+        spark.readStream.schema(IV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir + "/*")
+    )
+    q = (
+        interval_last_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(outdir)
+    eleven = {
+        (r["user_id"], r["event_type"]): r
+        for r in out.filter(F.col("interval_start") == ts(0, 0)).collect()
+    }
+    assert eleven[(1, "cpu")]["last_value"] == 3.0  # max_by kept the latest
+    assert eleven[(1, "cpu")]["last_ts"] == ts(0, 50)
+    assert eleven[(2, "cpu")]["last_value"] == 9.0

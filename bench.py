@@ -36,6 +36,12 @@ BENCH_QUERIES = [
     "cn2_spanmetrics",
     "pl5_curation_pipeline",
     "ts2_quality_score",
+    # round-3 additions (new keys; overlapping keys above stay comparable
+    # across rounds)
+    "pl7_token_bigrams",
+    "dd7_dup_clusters",
+    "gk1_grok_parse",
+    "dd6_contamination_scan",
 ]
 
 

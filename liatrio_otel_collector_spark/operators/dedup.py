@@ -457,6 +457,11 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
 
     The DuckDB oracle states the same fixpoint as a recursive CTE, so the
     result is hash-checkable, not rows-only."""
+    # materialize the edge list ONCE: every propagation round joins against
+    # it, and without this the whole upstream plan that produced the edges
+    # (e.g. the full shingle->minhash->band pipeline) re-executes per round
+    # through the loop's lineage
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .unionByName(edges.select(F.col("doc_b").alias("doc_id")))

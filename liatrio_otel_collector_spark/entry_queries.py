@@ -2308,47 +2308,319 @@ GROUP BY 1, 2, 3
 """,
 )(_cm1)
 
+
 # ---------------------------------------------------------------------------
-# Driver grading window (VERDICT r2 item 1).
+# r4: mm1 — multimodal feature extraction as a HARD driver row (VERDICT r3
+# item 1: the last brief component with only soft pytest signal).  The
+# deterministic fake-decode path (operators/multimodal.py — mapInPandas over
+# Arrow batches, size-adaptive bincount kernel) is pure arithmetic over the
+# payload bytes, so DuckDB restates it exactly: payload = repeat(16-hex-char
+# sha prefix, k) and feature_j * n_bytes = count of bytes whose low nibble
+# (byte & 15) == j = per-hex-char counts scaled by k.  Hex bytes only
+# populate bins 0-9 ('0'-'9' -> 0-9, 'a'-'f' -> 1-6), so c0..c9 is the full
+# non-zero feature surface; integer-exact on both engines.
+# ---------------------------------------------------------------------------
+
+from .operators.multimodal import fake_decode_features, synthetic_media
+
+_MM1_N = 20000
+
+# bin j <- hex chars whose ASCII low nibble is j
+_MM1_BINS = {
+    0: ["0"], 1: ["1", "a"], 2: ["2", "b"], 3: ["3", "c"], 4: ["4", "d"],
+    5: ["5", "e"], 6: ["6", "f"], 7: ["7"], 8: ["8"], 9: ["9"],
+}
+
+
+def _mm1(spark, sf):
+    feats = fake_decode_features(synthetic_media(spark, _MM1_N))
+    cols = [
+        F.round(F.element_at("features", j + 1) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias(f"c{j}")
+        for j in range(10)
+    ]
+    return feats.select("media_id", "kind", "n_bytes", *cols)
+
+
+def _mm1_bin_sql(j: int) -> str:
+    terms = " + ".join(
+        f"(16 - length(replace(base, '{c}', '')))" for c in _MM1_BINS[j]
+    )
+    return f"CAST(k * ({terms}) AS BIGINT) AS c{j}"
+
+
+_q(
+    "mm1_multimodal_features",
+    f"""
+WITH m AS (
+  SELECT id,
+         CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         substring(sha256(CAST(id AS VARCHAR)), 1, 16) AS base,
+         CAST(1 + id % 8 AS BIGINT) AS k
+  FROM range({_MM1_N}) t(id)
+)
+SELECT CAST(id AS VARCHAR) AS media_id, kind, 16 * k AS n_bytes,
+       {", ".join(_mm1_bin_sql(j) for j in range(10))}
+FROM m
+""",
+)(_mm1)
+
+# ---------------------------------------------------------------------------
+# r4: gk2 — COMBINEDAPACHELOG-class grok parse (VERDICT r3 item 7): the
+# composite patterns real log pipelines hit first (HTTPDATE, QS, URIPATH,
+# USER) plus the bare non-capturing %{NAME} form, over an Apache-style
+# access-log corpus synthesized from events.  Same one-compiled-regex
+# contract as gk1: Spark regexp_extract and the DuckDB oracle run the
+# IDENTICAL anchored pattern.
+# ---------------------------------------------------------------------------
+
+_GK2_EXPR = (
+    '%{IPV4:client} - %{USER:ident} [%{HTTPDATE:when}] '
+    '"%{WORD:method} %{URIPATH:path} HTTP/1.1" %{INT:status} %{INT:bytes} '
+    '%{QS:referrer} %{QS}'
+)
+
+
+def _gk2(spark, sf):
+    e = load_tables(spark, sf)["events"]
+    method = (
+        F.when(F.col("event_id") % 4 == 0, "GET")
+        .when(F.col("event_id") % 4 == 1, "POST")
+        .when(F.col("event_id") % 4 == 2, "PUT")
+        .otherwise("DELETE")
+    )
+    status = (
+        F.when(F.col("event_id") % 10 == 0, "500")
+        .when(F.col("event_id") % 10 == 1, "404")
+        .otherwise("200")
+    )
+    line = F.concat(
+        F.lit("10."), (F.col("user_id") % 200).cast("string"), F.lit("."),
+        (F.col("event_id") % 250).cast("string"), F.lit(".7 - user"),
+        (F.col("user_id") % 97).cast("string"), F.lit(" ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(' +0000] "'),
+        method, F.lit(" /api/"), F.col("event_type"), F.lit("/"),
+        (F.col("user_id") % 10).cast("string"), F.lit(' HTTP/1.1" '),
+        status, F.lit(" "), (F.col("event_id") % 5000).cast("string"),
+        F.lit(' "https://example.com/'), F.col("event_type"),
+        F.lit('" "Mozilla/5.0"'),
+    )
+    parsed = grok_parse(e.select(line.alias("line")), "line", _GK2_EXPR, keep=False)
+    return parsed.groupBy("method", F.col("status").cast("bigint").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("bytes").cast("bigint")).alias("total_bytes"),
+        F.countDistinct("client").alias("distinct_clients"),
+        F.max("path").alias("max_path"),
+    )
+
+
+_GK2_X = grok_oracle_exprs(_GK2_EXPR, "line")
+
+_q(
+    "gk2_grok_apache_log",
+    f"""
+WITH lines AS (
+  SELECT '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+         CAST(event_id % 250 AS VARCHAR) || '.7 - user' ||
+         CAST(user_id % 97 AS VARCHAR) || ' [' ||
+         strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "' ||
+         CASE event_id % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+              WHEN 2 THEN 'PUT' ELSE 'DELETE' END ||
+         ' /api/' || event_type || '/' || CAST(user_id % 10 AS VARCHAR) ||
+         ' HTTP/1.1" ' ||
+         CASE event_id % 10 WHEN 0 THEN '500' WHEN 1 THEN '404' ELSE '200' END ||
+         ' ' || CAST(event_id % 5000 AS VARCHAR) ||
+         ' "https://example.com/' || event_type || '" "Mozilla/5.0"' AS line
+  FROM events
+)
+, parsed AS (
+  SELECT {_GK2_X['client']} AS client, {_GK2_X['method']} AS method,
+         {_GK2_X['path']} AS path, {_GK2_X['status']} AS status,
+         {_GK2_X['bytes']} AS bytes
+  FROM lines
+)
+SELECT method, CAST(status AS BIGINT) AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(bytes AS BIGINT)) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT client) AS BIGINT) AS distinct_clients,
+       max(path) AS max_path
+FROM parsed GROUP BY 1, 2
+""",
+)(_gk2)
+
+# ---------------------------------------------------------------------------
+# r4: cm2 — the generic OTTL frontend (ottl.py) as a driver row (VERDICT r3
+# item 4): the reference's ACTUAL transform/filter statements
+# (config/config.yaml:80-108) loaded from YAML — not named analogs — compile
+# to one Catalyst chain (from_json schema inferred from keep_keys, map
+# upserts with OTTL nil rules, filter drop-on-match) over a gitlab-webhook
+# JSON corpus synthesized from events; DuckDB recomputes every promoted
+# attribute directly.
+# ---------------------------------------------------------------------------
+
+_CM2_YAML = """
+receivers:
+  webhookevent: {}
+processors:
+  transform/body:
+    error_mode: ignore
+    log_statements: ['set(log.body, ParseJSON(log.body)) where log.body != nil']
+  filter/gitlabpipelineevents:
+    error_mode: ignore
+    logs:
+      log_record:
+        - not IsMatch(body["object_kind"], "pipeline")
+  transform/gitlabpipelineevents:
+    log_statements:
+      - context: log
+        statements:
+          - keep_keys(log.body, ["object_kind", "project", "object_attributes"])
+          - keep_keys(log.body["project"], ["id", "name", "namespace", "path_with_namespace", "web_url"]) where log.body["project"] != nil
+          - keep_keys(log.body["object_attributes"], ["id", "ref", "sha", "url", "status"]) where log.body["object_attributes"] != nil
+          - set(log.attributes["event.name"], Concat(["pipeline", log.body["project"]["id"], log.body["object_attributes"]["id"]], "_")) where log.body["project"]["id"] != nil and log.body["object_attributes"]["id"] != nil
+          - set(log.attributes["vcs.repository.owner"], log.body["project"]["namespace"]) where log.body["project"]["namespace"] != nil
+          - set(log.attributes["vcs.repository.url.full"], log.body["project"]["web_url"]) where log.body["project"]["web_url"] != nil
+          - set(log.attributes["vcs.ref.head.name"], log.body["object_attributes"]["ref"]) where log.body["object_attributes"]["ref"] != nil
+          - set(log.attributes["vcs.ref.head.revision"], log.body["object_attributes"]["sha"]) where log.body["object_attributes"]["sha"] != nil
+          - set(log.attributes["vcs.repository.name"], log.body["project"]["path_with_namespace"]) where log.body["project"]["path_with_namespace"] != nil
+          - set(log.attributes["vcs.repository.id"], Concat(["", log.body["project"]["id"]], "")) where log.body["project"]["id"] != nil
+          - set(resource.attributes["service.namespace"], "gitlab")
+          - set(resource.attributes["service.name"], log.body["project"]["name"]) where log.body["project"]["name"] != nil
+exporters:
+  debug: {}
+service:
+  pipelines:
+    logs:
+      receivers: [webhookevent]
+      processors: [transform/body, filter/gitlabpipelineevents, transform/gitlabpipelineevents]
+      exporters: [debug]
+"""
+
+
+def _cm2(spark, sf):
+    from .confmap import AssembleContext, assemble, load_config
+
+    e = load_tables(spark, sf)["events"]
+    pid = (F.col("user_id") % 50).cast("string")
+    grp = F.concat(F.lit("grp-"), (F.col("user_id") % 7).cast("string"))
+    body = F.to_json(
+        F.struct(
+            F.when(F.col("event_id") % 3 == 0, "pipeline")
+            .when(F.col("event_id") % 3 == 1, "push")
+            .otherwise("note")
+            .alias("object_kind"),
+            F.struct(
+                (F.col("user_id") % 50).cast("long").alias("id"),
+                F.concat(F.lit("proj-"), pid).alias("name"),
+                grp.alias("namespace"),
+                F.concat(grp, F.lit("/proj-"), pid).alias("path_with_namespace"),
+                F.concat(F.lit("https://gitlab.com/"), grp, F.lit("/proj-"), pid).alias("web_url"),
+            ).alias("project"),
+            F.struct(
+                F.col("event_id").cast("long").alias("id"),
+                F.when(F.col("event_id") % 2 == 0, "main").otherwise("dev").alias("ref"),
+                F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 8).alias("sha"),
+                F.concat(F.lit("https://gitlab.com/p/"), F.col("event_id").cast("string")).alias("url"),
+                F.when(F.col("event_id") % 4 == 0, "success")
+                .when(F.col("event_id") % 4 == 1, "failed")
+                .when(F.col("event_id") % 4 == 2, "running")
+                .otherwise("pending")
+                .alias("status"),
+            ).alias("object_attributes"),
+        )
+    )
+    raw = e.select(F.col("event_id").cast("bigint").alias("eid"), body.alias("body_raw"))
+    cfg = load_config(_CM2_YAML)
+    logs = assemble(spark, cfg, AssembleContext(frames={"webhookevent": raw}))["logs"]
+    a, r = F.col("attrs"), F.col("resource")
+    return logs.select(
+        "eid",
+        a["event.name"].alias("event_name"),
+        a["vcs.repository.owner"].alias("owner"),
+        a["vcs.ref.head.name"].alias("ref_name"),
+        a["vcs.ref.head.revision"].alias("revision"),
+        a["vcs.repository.name"].alias("repo_name"),
+        a["vcs.repository.id"].alias("repo_id"),
+        r["service.namespace"].alias("service_ns"),
+        r["service.name"].alias("service_name"),
+    )
+
+
+_q(
+    "cm2_ottl_compiled_pipeline",
+    """
+SELECT CAST(event_id AS BIGINT) AS eid,
+       'pipeline_' || CAST(user_id % 50 AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS event_name,
+       'grp-' || CAST(user_id % 7 AS VARCHAR) AS owner,
+       CASE WHEN event_id % 2 = 0 THEN 'main' ELSE 'dev' END AS ref_name,
+       substring(sha256(CAST(event_id AS VARCHAR)), 1, 8) AS revision,
+       'grp-' || CAST(user_id % 7 AS VARCHAR) || '/proj-' || CAST(user_id % 50 AS VARCHAR) AS repo_name,
+       CAST(user_id % 50 AS VARCHAR) AS repo_id,
+       'gitlab' AS service_ns,
+       'proj-' || CAST(user_id % 50 AS VARCHAR) AS service_name
+FROM events WHERE event_id % 3 = 0
+""",
+)(_cm2)
+
+# ---------------------------------------------------------------------------
+# Driver grading window (established r3; rotated again per VERDICT r3 item 2).
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
-# order.  Rounds 1-2 spent both windows on the same 50 head entries, leaving
-# every query registered after them (all r2 additions + 9 r1 carryovers)
-# without a hard-signal CORRECTNESS row.  Rebuild the dict so the window
-# holds: the 21 never-driver-graded queries, the 3 new r3 processor analogs,
-# and 26 flagship rows kept for re-grading; the 24 rotated-out rows are all
-# double-green (identical hash-match in CORRECTNESS_r01 AND _r02) and keep
-# their keys, oracles, and local parity coverage — only dict ORDER moves.
+# order.  Round-4 rotation: the 29 queries whose driver rows date from r1/r2
+# come back in-window (their plans sit atop two rounds of shared-view
+# refactors), the 3 r4 additions (mm1/gk2/cm2) and the 8 r3-new ops get
+# fresh/second grades, and 10 flagship rows stay for continuous re-grading.
+# The rotated-out rows were ALL driver-green in r3 (CORRECTNESS_r03 50/50)
+# and keep their keys, oracles, and local parity coverage (the full-set gate
+# in tests/test_oracle_parity.py) — only dict ORDER moves.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # never driver-graded (r1/r2 positions 50-70)
-    "s1_repo_search_scan",
-    "s16_oldest_divergent_commit",
-    "s26_ado_spans",
-    "s27_actions_job_spans",
-    "a25_ado_snapshot_emit",
-    "a20_catalog_resource_stats",
-    "a23_terraform_consumer_rows",
-    "w3_latest_deployment_per_service",
-    "u1_union_cve_sources",
-    "f10_repo_substring_filter",
-    "x19_labels_lowercase",
-    "x20_indexed_workflow_attrs",
-    "cn1_span_count",
-    "cn2_spanmetrics",
-    "pr1_probabilistic_sampler",
-    "pr2_tail_sampler",
-    "dd5_embedding_near_dups",
-    "dd6_contamination_scan",
-    "ts5_pii_scrub",
-    "pl5_curation_pipeline",
-    "pl6_sequence_stats",
-    # new in r3
+    # r1/r2-only rows re-graded this round (VERDICT r3 item 2: their last
+    # DRIVER rows predate two rounds of refactors)
+    "a1_repository_count",
+    "a2_ref_count",
+    "a3_change_count",
+    "a4_change_time_to_merge",
+    "a5_change_duration",
+    "a8_ref_lines_delta",
+    "a9_ref_time",
+    "a10_contributor_count",
+    "a13_deployment_average_duration",
+    "a14_deployment_last_timestamp",
+    "a15_work_item_count",
+    "a16_work_item_tag_count",
+    "a17_work_item_cycle_time",
+    "w2_first_purchase_per_user",
+    "w4_oldest_commit_per_branch",
+    "w5_latest_event_per_user",
+    "j5_case_insensitive_dim_join",
+    "j7_service_name_precedence",
+    "u2_combined_pull_requests",
+    "u3_receiver_fan_in",
+    "f1_stale_branch_filter",
+    "f8_regex_event_filter",
+    "x4_deterministic_ids",
+    "x9_api_url_rewrite",
+    "x16_multi_format_timestamps",
+    "x22_workflow_path_names",
+    "ts1_token_count",
+    "ts3_language_id",
+    "ts4_fingerprint",
+    # new in r4
+    "mm1_multimodal_features",
+    "gk2_grok_apache_log",
+    "cm2_ottl_compiled_pipeline",
+    # r3-new ops kept in-window for a second consecutive driver grade
     "gb1_groupbyattrs",
     "gt1_groupbytrace",
     "iv1_interval_last",
     "cm1_config_pipeline",
+    "dd7_dup_clusters",
+    "pl7_token_bigrams",
+    "ts6_repetition_stats",
+    "gk1_grok_parse",
     # flagship rows kept in-window for continuous re-grading
     "pl1_parse_route_aggregate",
     "pl2_enrich_rollup",
@@ -2356,25 +2628,10 @@ _DRIVER_WINDOW = [
     "pl4_logs_route_token_equality",
     "dd1_exact_dedup",
     "dd2_minhash_near_dups",
-    "dd3_ngram_jaccard_pairs",
-    "dd4_simhash",
-    "sim1_brute_force_topk",
-    "sim2_lsh_topk",
-    "sim3_ivf_topk",
-    "ts2_quality_score",
-    "j1_broadcast_enrich_join",
-    "dd7_dup_clusters",
-    "w1_unique_step_names",
-    "ts6_repetition_stats",
-    "gk1_grok_parse",
-    "a6_change_time_to_approval",
-    "a7_ref_revisions_delta",
-    "a11_cve_count",
+    "dd6_contamination_scan",
     "a12_deployment_count",
-    "pl7_token_bigrams",
-    "a18_catalog_component_counts",
-    "a21_terraform_module_consumers",
-    "a24_code_coverage",
+    "j1_broadcast_enrich_join",
+    "sim1_brute_force_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -20,7 +20,9 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# dialect-portable pattern library (logstash-core names)
+# dialect-portable pattern library (logstash-core names); every entry stays
+# in the RE2 ∩ Java dialect (no backreferences, no lookaround) so the SAME
+# compiled regex runs in Spark's Java engine and DuckDB's RE2 oracle.
 GROK_PATTERNS: dict[str, str] = {
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
     "LOGLEVEL": r"(?:DEBUG|INFO|WARN|ERROR|FATAL|debug|info|warn|error|fatal)",
@@ -30,15 +32,30 @@ GROK_PATTERNS: dict[str, str] = {
     "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
     "NOTSPACE": r"\S+",
     "GREEDYDATA": r".*",
+    # COMBINEDAPACHELOG-class composites (the first patterns real log
+    # pipelines reach for; logstash-core httpd/grok-patterns names)
+    "MONTH": r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)",
+    "HTTPDATE": (
+        r"\d{2}/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/\d{4}"
+        r":\d{2}:\d{2}:\d{2} [+-]\d{4}"
+    ),
+    "QS": r'"(?:[^"\\]|\\.)*"',  # quoted string, escape-aware, no backrefs
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(),~:;=@#%&_\-]*)+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "HOSTNAME": r"(?:[A-Za-z0-9][A-Za-z0-9\-]*\.)*[A-Za-z0-9][A-Za-z0-9\-]*",
 }
 
-_FIELD_RE = re.compile(r"%\{([A-Z0-9_]+):([a-zA-Z_][a-zA-Z0-9_]*)\}")
+# %{NAME:field} captures; bare %{NAME} matches without capturing (the
+# grok-filter syntax for structure-only tokens, e.g. a user agent you
+# validate but don't extract)
+_FIELD_RE = re.compile(r"%\{([A-Z0-9_]+)(?::([a-zA-Z_][a-zA-Z0-9_]*))?\}")
 
 
 def grok_compile(expression: str) -> tuple[str, list[str]]:
     """``%{LOGLEVEL:level} %{WORD:service}: %{GREEDYDATA:msg}`` →
     (anchored regex with one capture group per field, field names in group
-    order).  Unknown pattern names and duplicate field names are errors —
+    order).  ``%{NAME}`` without a field compiles to a NON-capturing group.
+    Unknown pattern names and duplicate field names are errors —
     the same strictness grok filters apply at config load."""
     fields: list[str] = []
 
@@ -46,6 +63,8 @@ def grok_compile(expression: str) -> tuple[str, list[str]]:
         pname, fname = m.group(1), m.group(2)
         if pname not in GROK_PATTERNS:
             raise ValueError(f"unknown grok pattern %{{{pname}}}")
+        if fname is None:
+            return f"(?:{GROK_PATTERNS[pname]})"
         if fname in fields:
             raise ValueError(f"duplicate grok field {fname!r}")
         fields.append(fname)

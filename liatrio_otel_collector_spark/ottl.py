@@ -1,0 +1,557 @@
+"""A generic OTTL statement frontend compiled to Catalyst expressions.
+
+The reference collector is config-first: its transform/filter processors
+execute arbitrary OTTL programs (/root/reference/config/config.yaml:80-108,
+the transformprocessor/filterprocessor from the distro manifest).  Round 3
+shipped those two instances as *named analogs*; this module compiles the
+actual statements, so a user can paste their own collector YAML and get a
+Spark plan instead of a ConfigError.
+
+Supported surface (the subset the reference palette actually uses):
+
+  statements   set(path, expr) / keep_keys(path, [k...]) /
+               delete_key(path, "k"), each with an optional
+               ``where <bool-expr>`` suffix
+  functions    ParseJSON(e), Concat([e...], sep), IsMatch(e, pattern)
+  paths        log.body[...]..., log.attributes["k"],
+               resource.attributes["k"], log.severity_text, bare
+               body[...] / attributes[...] (filterprocessor context)
+  operators    and, or, not, ==, != and the nil literal
+
+Spark-first semantics, matching the hand-written analogs in plans/logs.py:
+
+- ``ParseJSON(log.body)`` compiles to ``from_json`` with a schema INFERRED
+  from the whole statement chain: every keep_keys list and every referenced
+  body path contributes a field (all leaves read as string — from_json
+  coerces JSON numbers).  That makes keep_keys a parse-time projection
+  (Catalyst prunes everything else at the scan), which is exactly how
+  plans/logs.py hand-encoded it ("the from_json schema IS keep_keys") —
+  keep_keys statements then verify as compile-time no-ops.
+- ``set`` on attributes follows OTTL's documented nil rule (setting a nil
+  value is a no-op) — compiled as map upsert guarded by value-not-null and
+  the where clause.
+- filterprocessor conditions DROP the record when the condition is true;
+  a null condition (e.g. IsMatch on a missing key) keeps OTTL's
+  error_mode=ignore drop behavior identical to the analog's rlike filter.
+
+The compiler is invoked per PIPELINE over the maximal run of consecutive
+transform/filter processors (confmap.assemble), because schema inference
+must see keep_keys from later processors when compiling an earlier
+ParseJSON.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class OttlError(ValueError):
+    """Unparseable or unsupported OTTL statement."""
+
+
+# --- tokenizer ---------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op>==|!=|[()\[\],.])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise OttlError(f"cannot tokenize OTTL at: {s[pos:pos+30]!r}")
+        pos = m.end()
+        for kind in ("string", "num", "ident", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+# --- parser ------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        kind, v = self.next()
+        if v != val:
+            raise OttlError(f"expected {val!r}, got {v!r}")
+
+    # statement := ident '(' args ')' [ 'where' expr ]
+    def statement(self) -> dict[str, Any]:
+        kind, name = self.next()
+        if kind != "ident":
+            raise OttlError(f"expected statement name, got {name!r}")
+        self.expect("(")
+        args = self.args()
+        self.expect(")")
+        where = None
+        k, v = self.peek()
+        if k == "ident" and v == "where":
+            self.next()
+            where = self.expr()
+        if self.peek()[0] != "eof":
+            raise OttlError(f"trailing tokens after statement: {self.peek()[1]!r}")
+        return {"fn": name, "args": args, "where": where}
+
+    def args(self) -> list[Any]:
+        out: list[Any] = []
+        if self.peek()[1] == ")":
+            return out
+        out.append(self.expr())
+        while self.peek()[1] == ",":
+            self.next()
+            out.append(self.expr())
+        return out
+
+    # expr := or_expr ; standard precedence not < and < or? OTTL: not > and > or
+    def expr(self) -> Any:
+        return self.or_expr()
+
+    def or_expr(self) -> Any:
+        left = self.and_expr()
+        while self.peek() == ("ident", "or"):
+            self.next()
+            left = ("or", left, self.and_expr())
+        return left
+
+    def and_expr(self) -> Any:
+        left = self.not_expr()
+        while self.peek() == ("ident", "and"):
+            self.next()
+            left = ("and", left, self.not_expr())
+        return left
+
+    def not_expr(self) -> Any:
+        if self.peek() == ("ident", "not"):
+            self.next()
+            return ("not", self.not_expr())
+        return self.cmp_expr()
+
+    def cmp_expr(self) -> Any:
+        left = self.primary()
+        v = self.peek()[1]
+        if v in ("==", "!="):
+            self.next()
+            return (v, left, self.primary())
+        return left
+
+    def primary(self) -> Any:
+        kind, v = self.next()
+        if kind == "string":
+            return ("str", _unquote(v))
+        if kind == "num":
+            return ("num", float(v) if "." in v else int(v))
+        if v == "[":  # list literal
+            items = []
+            if self.peek()[1] != "]":
+                items.append(self.expr())
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.expr())
+            self.expect("]")
+            return ("list", items)
+        if v == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        if kind == "ident":
+            if v == "nil":
+                return ("nil",)
+            if self.peek()[1] == "(":  # function call
+                self.next()
+                args = self.args()
+                self.expect(")")
+                return ("call", v, args)
+            # path: ident ('.' ident | '[' string ']')*
+            segs: list[str] = [v]
+            while True:
+                nk, nv = self.peek()
+                if nv == ".":
+                    self.next()
+                    k2, v2 = self.next()
+                    if k2 != "ident":
+                        raise OttlError(f"expected field after '.', got {v2!r}")
+                    segs.append(v2)
+                elif nv == "[":
+                    self.next()
+                    k2, v2 = self.next()
+                    if k2 != "string":
+                        raise OttlError(f"expected string key in [], got {v2!r}")
+                    segs.append(_unquote(v2))
+                    self.expect("]")
+                else:
+                    break
+            return ("path", _normalize_path(segs))
+        raise OttlError(f"unexpected token {v!r}")
+
+
+def _unquote(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+
+def _normalize_path(segs: list[str]) -> tuple[str, ...]:
+    """Map OTTL paths onto the log frame's columns: ``log.body…`` ->
+    ('body', …), ``log.attributes["k"]`` -> ('attrs', k),
+    ``resource.attributes["k"]`` -> ('resource', k); a filterprocessor
+    condition omits the ``log.`` prefix (``body["k"]``, ``attributes["k"]``)."""
+    if segs[0] == "log":
+        segs = segs[1:]
+        if not segs:
+            raise OttlError("bare 'log' is not a value")
+    if not segs:
+        raise OttlError("empty path")
+    head, rest = segs[0], segs[1:]
+    if head == "resource":
+        if not rest or rest[0] != "attributes":
+            raise OttlError(f"unsupported resource path {segs!r}")
+        return ("resource", *rest[1:])
+    if head == "attributes":
+        return ("attrs", *rest)
+    if head in ("body", "severity_text", "severity_number", "time_unix_nano"):
+        return (head, *rest)
+    raise OttlError(f"unsupported OTTL path {'.'.join(segs)!r}")
+
+
+def parse_statement(text: str) -> dict[str, Any]:
+    return _Parser(text).statement()
+
+
+def parse_condition(text: str) -> Any:
+    p = _Parser(text)
+    e = p.expr()
+    if p.peek()[0] != "eof":
+        raise OttlError(f"trailing tokens in condition: {p.peek()[1]!r}")
+    return e
+
+
+# --- chain extraction from processor configs ---------------------------------
+
+
+def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
+    """Flatten a run of transform/filter processor configs into an ordered
+    statement list.  Transform configs carry ``log_statements`` as either
+    flat strings or ``{context, statements}`` groups (both reference forms);
+    filter configs carry ``logs: {log_record: [cond...]}`` where each
+    condition DROPS matching records."""
+    program: list[dict[str, Any]] = []
+    for pid, ptype, pcfg in chain:
+        if ptype == "transform":
+            for entry in pcfg.get("log_statements") or []:
+                stmts = (
+                    entry["statements"]
+                    if isinstance(entry, dict)
+                    else [entry]
+                )
+                for s in stmts:
+                    try:
+                        program.append(parse_statement(str(s)))
+                    except OttlError as e:
+                        raise OttlError(f"processor {pid!r}: {e}") from None
+        elif ptype == "filter":
+            for cond in (pcfg.get("logs") or {}).get("log_record") or []:
+                try:
+                    program.append(
+                        {"fn": "__drop_where__", "args": [parse_condition(str(cond))], "where": None}
+                    )
+                except OttlError as e:
+                    raise OttlError(f"processor {pid!r}: {e}") from None
+        else:
+            raise OttlError(f"processor {pid!r}: not an OTTL processor")
+    return program
+
+
+# --- body schema inference ---------------------------------------------------
+
+
+def _body_paths(node: Any, acc: list[tuple[str, ...]]) -> None:
+    if isinstance(node, tuple):
+        if node and node[0] == "path" and node[1][0] == "body" and len(node[1]) > 1:
+            acc.append(node[1][1:])
+        else:
+            for child in node[1:]:
+                _body_paths(child, acc)
+    elif isinstance(node, list):
+        for child in node:
+            _body_paths(child, acc)
+
+
+def infer_body_schema(program: list[dict[str, Any]]) -> str:
+    """DDL schema for ``ParseJSON(log.body)``: the union of every keep_keys
+    list and every body path the chain references, leaves as string.
+    Expressing keep_keys as the parse schema lets Catalyst prune dropped
+    fields at parse time — identical to plans/logs.py::BODY_SCHEMA's
+    hand-derivation from config.yaml:90-92."""
+    tree = _schema_tree(program)
+    if not tree:
+        raise OttlError("ParseJSON(log.body) with no referenced body fields")
+
+    def ddl_inner(node: dict) -> str:
+        return ", ".join(
+            f"`{name}`:" + ("string" if not child else f"struct<{ddl_inner(child)}>")
+            for name, child in node.items()
+        )
+
+    return ", ".join(
+        f"`{name}` " + ("string" if not child else f"struct<{ddl_inner(child)}>")
+        for name, child in tree.items()
+    )
+
+
+# --- compilation -------------------------------------------------------------
+
+def _empty_map() -> Column:
+    return F.create_map().cast("map<string,string>")
+
+
+class _State:
+    def __init__(self, df: DataFrame, body_col: str):
+        self.df = df
+        self.body_col = body_col  # raw JSON string column pre-ParseJSON
+        self.body_parsed = "body" in df.columns and body_col != "body"
+        for col, default in (("attrs", _empty_map()), ("resource", _empty_map())):
+            if col not in df.columns:
+                self.df = self.df.withColumn(col, default)
+
+    def body(self) -> Column:
+        return F.col("body") if self.body_parsed else F.col(self.body_col)
+
+
+def _compile_expr(e: Any, st: _State, schema: str) -> Column:
+    kind = e[0]
+    if kind == "str":
+        return F.lit(e[1])
+    if kind == "num":
+        return F.lit(e[1])
+    if kind == "nil":
+        return F.lit(None)
+    if kind == "path":
+        p = e[1]
+        if p[0] == "body":
+            base = st.body()
+            if len(p) == 1:
+                return base
+            if st.body_parsed:
+                col = base
+                for seg in p[1:]:
+                    col = col[seg]
+                return col
+            return F.get_json_object(base, "$." + ".".join(p[1:]))
+        if p[0] in ("attrs", "resource"):
+            if len(p) != 2:
+                raise OttlError(f"map path needs exactly one key: {p!r}")
+            return F.col(p[0])[p[1]]
+        return F.col(p[0])
+    if kind == "call":
+        name, args = e[1], e[2]
+        if name == "ParseJSON":
+            return F.from_json(_compile_expr(args[0], st, schema), schema)
+        if name == "Concat":
+            if len(args) != 2 or args[0][0] != "list" or args[1][0] != "str":
+                raise OttlError("Concat expects ([...], \"sep\")")
+            items = [_compile_expr(a, st, schema).cast("string") for a in args[0][1]]
+            # OTTL Concat joins ALL elements (empty strings included);
+            # concat_ws skips only NULLs, which the reference guards with
+            # where-clauses anyway — but lit("") elements must survive.
+            return F.concat_ws(args[1][1], *items)
+        if name == "IsMatch":
+            return _compile_expr(args[0], st, schema).cast("string").rlike(
+                _as_literal_str(args[1])
+            )
+        raise OttlError(f"unsupported OTTL function {name!r}")
+    if kind == "and":
+        return _compile_expr(e[1], st, schema) & _compile_expr(e[2], st, schema)
+    if kind == "or":
+        return _compile_expr(e[1], st, schema) | _compile_expr(e[2], st, schema)
+    if kind == "not":
+        return ~_compile_expr(e[1], st, schema)
+    if kind in ("==", "!="):
+        left, right = e[1], e[2]
+        if right == ("nil",) or left == ("nil",):
+            target = left if right == ("nil",) else right
+            col = _compile_expr(target, st, schema)
+            return col.isNull() if kind == "==" else col.isNotNull()
+        l, r = _compile_expr(left, st, schema), _compile_expr(right, st, schema)
+        return (l == r) if kind == "==" else (l != r)
+    raise OttlError(f"cannot compile node {e!r}")
+
+
+def _as_literal_str(e: Any) -> str:
+    if e[0] != "str":
+        raise OttlError(f"expected string literal, got {e!r}")
+    return e[1]
+
+
+def _map_upsert(map_col: str, key: str, value: Column, guard: Column | None) -> Column:
+    """OTTL set() on a map: no-op when the value is nil; overwrite existing."""
+    cond = value.isNotNull() if guard is None else (guard & value.isNotNull())
+    without = F.map_filter(F.col(map_col), lambda k, _: k != F.lit(key))
+    entry = F.when(cond, F.create_map(F.lit(key), value.cast("string"))).otherwise(_empty_map())
+    kept = F.when(cond, without).otherwise(F.col(map_col))
+    return F.map_concat(kept, entry)
+
+
+def _schema_children(schema_tree: dict, path: tuple[str, ...]) -> dict | None:
+    node: Any = schema_tree
+    for seg in path:
+        if seg not in node:
+            return None
+        node = node[seg]
+    return node
+
+
+def _apply_statement(st: _State, stmt: dict[str, Any], schema: str, tree: dict) -> None:
+    fn, args, where = stmt["fn"], stmt["args"], stmt["where"]
+    guard = _compile_expr(where, st, schema) if where is not None else None
+
+    if fn == "__drop_where__":
+        # filterprocessor: DROP when the condition is true; a null condition
+        # (missing key) also drops — same as the analog's rlike filter and
+        # OTTL's error_mode:ignore on the reference instance.
+        cond = _compile_expr(args[0], st, schema)
+        st.df = st.df.filter(~cond)
+        return
+
+    if fn == "set":
+        target = args[0]
+        if target[0] != "path":
+            raise OttlError("set() target must be a path")
+        p = target[1]
+        value_ast = args[1]
+        if p == ("body",):
+            if value_ast[0] == "call" and value_ast[1] == "ParseJSON":
+                parsed = _compile_expr(value_ast, st, schema)
+                if guard is not None:
+                    parsed = F.when(guard, parsed)
+                st.df = st.df.withColumn("body", parsed)
+                st.body_parsed = True
+                return
+            raise OttlError("set(log.body, ...) supports only ParseJSON(...)")
+        if p[0] in ("attrs", "resource") and len(p) == 2:
+            value = _compile_expr(value_ast, st, schema)
+            st.df = st.df.withColumn(p[0], _map_upsert(p[0], p[1], value, guard))
+            return
+        if len(p) == 1:  # plain column, e.g. severity_text
+            value = _compile_expr(value_ast, st, schema)
+            newc = F.when(guard, value).otherwise(F.col(p[0])) if guard is not None else value
+            st.df = st.df.withColumn(p[0], newc)
+            return
+        raise OttlError(f"unsupported set() target {p!r}")
+
+    if fn == "keep_keys":
+        target, keys = args[0], args[1]
+        if target[0] != "path" or keys[0] != "list":
+            raise OttlError("keep_keys(path, [\"k\", ...])")
+        p = target[1]
+        keep = {_as_literal_str(k) for k in keys[1]}
+        if p[0] == "body":
+            children = _schema_children(tree, p[1:])
+            if children is None or set(children) <= keep:
+                return  # parse-schema projection already enforced it
+            raise OttlError(
+                f"keep_keys at {p!r} drops schema-inferred fields "
+                f"{sorted(set(children) - keep)} — reference a field only "
+                "before its keep_keys, or widen the keep list"
+            )
+        if p[0] in ("attrs", "resource") and len(p) == 1:
+            pruned = F.map_filter(
+                F.col(p[0]), lambda k, _: k.isin(*[F.lit(x) for x in sorted(keep)])
+            )
+            newc = F.when(guard, pruned).otherwise(F.col(p[0])) if guard is not None else pruned
+            st.df = st.df.withColumn(p[0], newc)
+            return
+        raise OttlError(f"unsupported keep_keys target {p!r}")
+
+    if fn == "delete_key":
+        target, key = args[0], _as_literal_str(args[1])
+        p = target[1]
+        if p[0] in ("attrs", "resource") and len(p) == 1:
+            pruned = F.map_filter(F.col(p[0]), lambda k, _: k != F.lit(key))
+            newc = F.when(guard, pruned).otherwise(F.col(p[0])) if guard is not None else pruned
+            st.df = st.df.withColumn(p[0], newc)
+            return
+        raise OttlError(f"unsupported delete_key target {p!r}")
+
+    raise OttlError(f"unsupported OTTL statement {fn!r}")
+
+
+def _schema_tree(program: list[dict[str, Any]]) -> dict:
+    tree: dict = {}
+    refs: list[tuple[str, ...]] = []
+    for stt in program:
+        _body_paths(stt.get("where"), refs)
+        for a in stt["args"]:
+            _body_paths(a, refs)
+        if stt["fn"] == "keep_keys" and stt["args"]:
+            target = stt["args"][0]
+            if target[0] == "path" and target[1][0] == "body":
+                for k in stt["args"][1][1]:
+                    refs.append((*target[1][1:], k[1]))
+    for r in refs:
+        node = tree
+        for seg in r:
+            node = node.setdefault(seg, {})
+    return tree
+
+
+def compile_chain(
+    df: DataFrame, chain: list[tuple[str, str, dict]], body_col: str = "body_raw"
+) -> DataFrame:
+    """Compile a consecutive run of transform/filter processors into one
+    Catalyst plan over the log frame.  ``chain`` entries are
+    (processor_id, processor_type, config).  Runs as a unit so the body
+    schema inferred from LATER keep_keys informs an EARLIER ParseJSON."""
+    program = extract_program(chain)
+    schema = infer_body_schema(program) if any(_uses_parsejson(s) for s in program) else ""
+    tree = _schema_tree(program)
+    st = _State(df, body_col)
+    for stmt in program:
+        _apply_statement(st, stmt, schema, tree)
+    return st.df
+
+
+def _uses_parsejson(stmt: dict[str, Any]) -> bool:
+    found = []
+
+    def walk(node: Any) -> None:
+        if isinstance(node, tuple):
+            if node and node[0] == "call" and node[1] == "ParseJSON":
+                found.append(True)
+            for c in node[1:]:
+                walk(c)
+        elif isinstance(node, list):
+            for c in node:
+                walk(c)
+
+    for a in stmt["args"]:
+        walk(a)
+    walk(stmt.get("where"))
+    return bool(found)

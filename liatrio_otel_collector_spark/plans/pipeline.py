@@ -45,6 +45,20 @@ from .lineage import lineage_manifest
 SALT_BUCKETS = 16
 
 
+def resolve_salt_buckets(spark: "SparkSession", cfg: "PipelineConfig") -> int:
+    """Bucket count for the skew salt: explicit config wins; otherwise 16x
+    the cluster's slots (floor SALT_BUCKETS).  The multiple matters twice:
+    a 90%-hot key lands on at most B partitions, so B must exceed the slot
+    count — AND bucket->partition placement is a hash, so per-partition load
+    is ~Poisson(B/slots); B = 16x slots keeps that quantization under ~25%
+    while staying tiny relative to data (buckets are a shuffle KEY, not
+    state).  Scales with the cluster instead of freezing at a local[32]-era
+    constant."""
+    if cfg.salt_buckets:
+        return cfg.salt_buckets
+    return max(SALT_BUCKETS, 16 * spark.sparkContext.defaultParallelism)
+
+
 @dataclass
 class PipelineConfig:
     """Enabled-sink gating — the analog of the reference's per-metric on/off
@@ -53,7 +67,13 @@ class PipelineConfig:
 
     use_udf_parse: bool = True
     sinks: tuple[str, ...] = ("logs", "traces", "metrics")
-    salt_buckets: int = SALT_BUCKETS
+    # None = adaptive (resolve_salt_buckets): scaled to cluster slots.  A
+    # FIXED bucket count under-spreads once one key dominates — with B=16 a
+    # 90%-hot source occupies at most 16 of 32 slots (measured 2.07x e2e
+    # slowdown at 10M rows); buckets >= 4x slots keeps every core fed at any
+    # skew ratio, and on a 1000-executor cluster scales to 16x its slots
+    # instead of freezing at a local[32]-era constant.
+    salt_buckets: int | None = None
     output_dir: str | None = None
     sink_format: str = field(default_factory=lambda: os.environ.get("SPARK_GRAFT_SINK_FORMAT", "parquet"))
     # ephemeral staging location (count-only mode). Order matters (VERDICT r2
@@ -137,7 +157,8 @@ def build_enriched(
     raw = source_df if source_df is not None else sequences(spark, n_rows)
     # explicit salted repartition on the skewed source key
     salted = raw.repartition(
-        F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))
+        F.col("source"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(resolve_salt_buckets(spark, cfg))),
     )
     parsed = parse_stage(salted, use_udf=cfg.use_udf_parse)
     return enrich_stage(parsed, enrich_dim(spark))

@@ -404,8 +404,26 @@ def gitlab_terraform_scrape_metrics(
         )
     )
     # X14: the blob line must contain source = ".../{name}/{system}"
+    # (gitlabterraformscraper/helpers.go:232-245 matches the module name as a
+    # distinct path segment).  Rather than a broadcast nested-loop
+    # blobs×modules with a contains predicate (O(B·M) row work — fine while
+    # the module dim is broadcast-sized, a wall if it grows), pre-extract
+    # every slash-delimited candidate segment from the line and EQUI-JOIN it
+    # against module_name — a hash join on the segment key.  A "/{name}/…"
+    # occurrence always makes name a complete slash-delimited segment
+    # (indices 1..n-2 of split), so candidate generation can never miss; the
+    # original predicate is re-verified on the (far smaller) joined pairs,
+    # keeping the match rule bit-identical to the NLJ form.
+    segs = F.split(F.col("line"), "/")
+    cand = consumer_blobs.select(
+        "project_id",
+        "line",
+        F.explode_outer(
+            F.array_distinct(F.slice(segs, 2, F.greatest(F.size(segs) - 2, F.lit(0))))
+        ).alias("module_name"),
+    )
     hits = (
-        consumer_blobs.crossJoin(F.broadcast(mods))
+        cand.join(mods, "module_name")
         .filter(
             F.col("line").rlike(
                 r'source\s*=\s*"[^"]*/'

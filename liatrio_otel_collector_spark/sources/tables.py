@@ -43,8 +43,37 @@ def ensure_parallel_scan(df: DataFrame) -> DataFrame:
     the cluster has slots, redistribute the (narrow) source rows first; at
     100 TB inputs arrive with thousands of row groups and this is a no-op.
     Same plan-free probe as operators/dedup.py::shingles (inputFiles comes
-    off the logical plan, no RDD translation)."""
-    sc = df.sparkSession.sparkContext
-    if len(df.inputFiles()) < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    off the logical plan, no RDD translation).
+
+    File count is NOT partition count (advice r3): a large multi-row-group
+    file splits into many scan partitions, and a non-file source reports
+    inputFiles()==[] while already being parallel (range, in-memory
+    frames).  So: no files -> trust the source's own plan and do nothing;
+    few files -> count actual splittable units (row groups, straight off
+    the parquet footers — cheap, and only ever done for a handful of files)
+    and shuffle only when those genuinely undersupply the slots."""
+    if needs_widening(df):
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
+
+
+def needs_widening(df: DataFrame) -> bool:
+    """True when a file-backed scan genuinely cannot feed every slot.
+    Shared probe for ensure_parallel_scan and operators/dedup.py::shingles."""
+    sc = df.sparkSession.sparkContext
+    files = df.inputFiles()
+    if not files:
+        return False  # non-file source: already distributed by its own plan
+    if len(files) >= sc.defaultParallelism:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        row_groups = sum(
+            pq.ParquetFile(f.removeprefix("file:")).metadata.num_row_groups for f in files
+        )
+        if row_groups >= sc.defaultParallelism:
+            return False  # reader splits row groups itself; scan is already wide
+    except Exception:
+        pass  # remote paths / non-parquet: fall through, repartition is safe
+    return True

@@ -47,8 +47,11 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
+        from ..plans.pipeline import resolve_salt_buckets
+
         salted = batch_df.repartition(
-            F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(cfg.pipeline.salt_buckets))
+            F.col("source"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(resolve_salt_buckets(spark, cfg.pipeline))),
         )
         enriched = enrich_stage(
             parse_stage(salted, use_udf=cfg.pipeline.use_udf_parse), dim

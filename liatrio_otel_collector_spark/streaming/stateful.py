@@ -100,6 +100,7 @@ _TRACE_STATE_SCHEMA = StructType(
         StructField("span_count", LongType()),
         StructField("error_count", LongType()),
         StructField("expected", LongType()),
+        StructField("done", LongType()),
     ]
 )
 
@@ -133,22 +134,33 @@ def group_traces_stream(stream: DataFrame, wait_duration_ms: int = 60_000) -> Da
             )
 
         if state.hasTimedOut:
-            sc, ec, _ = state.get
+            sc, ec, _, done = state.get
             state.remove()
-            yield emit(sc, ec, 0)
+            if not done:  # tombstone timeout: already emitted, just clean up
+                yield emit(sc, ec, 0)
             return
-        sc, ec, exp = state.get if state.exists else (0, 0, -1)
+        sc, ec, exp, done = state.get if state.exists else (0, 0, -1, 0)
+        if done:
+            # Tombstone (advice r3): the trace already emitted complete=1 —
+            # without this, late spans would RE-OPEN fresh state and emit a
+            # duplicate undercounted row for the same trace_id.  Drop the
+            # stragglers, keep the tombstone until its timeout reclaims it.
+            state.setTimeoutDuration(wait_duration_ms)
+            return
         for pdf in pdfs:
             if len(pdf):
                 sc += len(pdf)
                 ec += int((pdf["status_code"] == 2).sum())
                 exp = int(pdf["n_expected"].iloc[0])
         if 0 <= exp <= sc:
-            if state.exists:
-                state.remove()
+            # keep a done-marker instead of remove() so late arrivals can't
+            # restart the trace; state stays three longs + flag, reclaimed
+            # by the same processing-time timeout as the give-up path
+            state.update((sc, ec, exp, 1))
+            state.setTimeoutDuration(wait_duration_ms)
             yield emit(sc, ec, 1)
         else:
-            state.update((sc, ec, exp))
+            state.update((sc, ec, exp, 0))
             state.setTimeoutDuration(wait_duration_ms)
 
     return stream.groupBy("trace_id").applyInPandasWithState(
@@ -173,19 +185,26 @@ def interval_last_stream(
     interval, emitted when the watermark closes the window.  ``max_by``
     keeps the latest value without any row_number (unsupported in
     streaming); state is one (ts, value) pair per open (identity, window) —
-    bounded by the watermark, exactly the processor's interval buffer."""
+    bounded by the watermark, exactly the processor's interval buffer.
+
+    The winner is ``max(struct(ts, value))`` — ONE row chosen by the
+    deterministic (ts DESC, value DESC) rule, so ``last_value`` and
+    ``last_ts`` always come from the same row even under timestamp ties,
+    matching the batch twin interval_last's explicit tiebreak (advice r3:
+    separate max_by(value, ts) + max(ts) could mix rows on equal ts)."""
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), interval).alias("w"), *identity)
         .agg(
-            F.max_by(F.col(value_col), F.col(ts_col)).alias("last_value"),
-            F.max(ts_col).alias("last_ts"),
+            F.max(
+                F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("v"))
+            ).alias("_last")
         )
         .select(
             F.col("w.start").alias("interval_start"),
             *identity,
-            "last_value",
-            "last_ts",
+            F.col("_last.v").alias("last_value"),
+            F.col("_last.ts").alias("last_ts"),
         )
     )
 

@@ -391,3 +391,53 @@ service:
     counts = run_config_pipelines(spark, cfg, AssembleContext())
     assert counts["seqs"]["file/out"] == 100
     assert spark.read.parquet(str(tmp_path / "explicit" / "seqs")).count() == 100
+
+
+def test_connector_merges_multiple_producers(spark):
+    """Two pipelines exporting into the SAME connector must both feed the
+    consumer — the collector merges every producer's stream into the
+    connector; last-writer-wins would silently drop one side (advice r3).
+    The bridged count must equal the connector applied to the union."""
+    from liatrio_otel_collector_spark.plans.connectors import (
+        count_connector,
+        spans_from_events,
+    )
+    from liatrio_otel_collector_spark.operators.setops import fan_in
+    from liatrio_otel_collector_spark.sources.tables import load_table
+
+    cfg = load_config(
+        """
+receivers:
+  webhookevent: {}
+  webhookevent/b: {}
+connectors:
+  count: {}
+exporters:
+  debug: {}
+service:
+  pipelines:
+    traces/a:
+      receivers: [webhookevent]
+      processors: []
+      exporters: [count]
+    traces/b:
+      receivers: [webhookevent/b]
+      processors: []
+      exporters: [count]
+    metrics:
+      receivers: [count]
+      processors: []
+      exporters: [debug]
+"""
+    )
+    events = load_table(spark, SF, "events")
+    spans_a = spans_from_events(events.filter("event_id % 2 = 0"))
+    spans_b = spans_from_events(events.filter("event_id % 2 = 1"))
+    built = assemble(
+        spark,
+        cfg,
+        AssembleContext(frames={"webhookevent": spans_a, "webhookevent/b": spans_b}),
+    )
+    got = sorted(map(tuple, built["metrics"].collect()))
+    want = sorted(map(tuple, count_connector(fan_in(spans_a, spans_b)).collect()))
+    assert got == want and len(got) > 0

@@ -316,3 +316,66 @@ def test_interval_last_stream(spark, tmp_path):
     assert eleven[(1, "cpu")]["last_value"] == 3.0  # max_by kept the latest
     assert eleven[(1, "cpu")]["last_ts"] == ts(0, 50)
     assert eleven[(2, "cpu")]["last_value"] == 9.0
+
+
+def test_group_traces_stream_late_span_after_complete(spark, tmp_path):
+    """Tombstone (advice r3): a span arriving AFTER its trace emitted
+    complete=1 must be dropped — no fresh state, no duplicate undercounted
+    row for the same trace_id."""
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    _write_batch(
+        spark, indir, [("B", "b1", 1, 2), ("B", "b2", 2, 2)], SPAN_SCHEMA, "b0"
+    )
+    _run_trace_stream(spark, indir, outdir, ckpt, wait_ms=600_000)
+    # late straggler for the already-complete trace + a control trace
+    _write_batch(
+        spark, indir, [("B", "b3", 1, 2), ("E", "e1", 1, 1)], SPAN_SCHEMA, "b1"
+    )
+    _run_trace_stream(spark, indir, outdir, ckpt, wait_ms=600_000)
+    rows = spark.read.parquet(outdir).collect()
+    b_rows = [r for r in rows if r["trace_id"] == "B"]
+    assert len(b_rows) == 1  # exactly one emission, never a duplicate
+    assert b_rows[0]["complete"] == 1 and b_rows[0]["span_count"] == 2
+    assert b_rows[0]["error_span_count"] == 1
+    assert {r["trace_id"] for r in rows} == {"B", "E"}
+
+
+def test_interval_last_stream_deterministic_tie(spark, tmp_path):
+    """Equal timestamps in one interval: the (ts DESC, value DESC) struct-max
+    rule must pick ONE row — last_value and last_ts from the same row, the
+    larger value winning — matching the batch twin's explicit tiebreak."""
+    from datetime import datetime
+
+    from liatrio_otel_collector_spark.streaming.stateful import interval_last_stream
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    tied = datetime(2024, 1, 1, 11, 0, 40)
+    _write_batch(
+        spark,
+        indir,
+        [(1, "cpu", 2.0, tied), (1, "cpu", 7.0, tied), (1, "cpu", 5.0, datetime(2024, 1, 1, 11, 0, 10))],
+        IV_SCHEMA,
+        "b0",
+    )
+    # push the watermark past the 11:00 interval so it closes and emits
+    _write_batch(spark, indir, [(1, "cpu", 0.0, datetime(2024, 1, 1, 11, 45))], IV_SCHEMA, "b1")
+    stream = (
+        spark.readStream.schema(IV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir + "/*")
+    )
+    q = (
+        interval_last_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(outdir).collect()
+    row = [r for r in out if r["interval_start"].minute == 0][0]
+    assert row["last_value"] == 7.0 and row["last_ts"] == tied

@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "dd7_dup_clusters",
     "gk1_grok_parse",
     "dd6_contamination_scan",
+    # round-4 additions
+    "gk2_grok_apache_log",
+    "mm1_multimodal_features",
+    "cm2_ottl_compiled_pipeline",
 ]
 
 

@@ -10,8 +10,8 @@ Spark plan instead of a ConfigError.
 Supported surface (the subset the reference palette actually uses):
 
   statements   set(path, expr) / keep_keys(path, [k...]) /
-               delete_key(path, "k"), each with an optional
-               ``where <bool-expr>`` suffix
+               delete_key(path, "k") / limit(path, N, [prio...]), each
+               with an optional ``where <bool-expr>`` suffix
   functions    ParseJSON(e), Concat([e...], sep), IsMatch(e, pattern)
   paths        log.body[...]..., log.attributes["k"],
                resource.attributes["k"], log.severity_text, bare
@@ -489,6 +489,42 @@ def _apply_statement(st: _State, stmt: dict[str, Any], schema: str, tree: dict) 
             st.df = st.df.withColumn(p[0], newc)
             return
         raise OttlError(f"unsupported keep_keys target {p!r}")
+
+    if fn == "limit":
+        # limit(log.attributes, N, ["prio", ...]): keep at most N entries,
+        # priority keys first.  OTTL leaves WHICH non-priority keys survive
+        # unspecified; we pick lexicographically-smallest so the result is
+        # deterministic (and therefore oracle-checkable) on any engine.
+        target = args[0]
+        p = target[1]
+        if target[0] != "path" or p[0] not in ("attrs", "resource") or len(p) != 1:
+            raise OttlError("limit() target must be log.attributes / resource.attributes")
+        if args[1][0] != "num" or not isinstance(args[1][1], int):
+            raise OttlError("limit() needs an integer cap")
+        cap = args[1][1]
+        prio = [_as_literal_str(k) for k in args[2][1]] if len(args) > 2 else []
+        prio_arr = F.array(*[F.lit(k) for k in prio]) if prio else F.array().cast("array<string>")
+        big = F.lit(1 << 30)
+
+        def rank(e: Column) -> Column:
+            pos = F.array_position(prio_arr, e["key"])
+            return F.when(pos > 0, pos).otherwise(big)
+
+        def cmp(l: Column, r: Column) -> Column:
+            return (
+                F.when(rank(l) < rank(r), F.lit(-1))
+                .when(rank(l) > rank(r), F.lit(1))
+                .when(l["key"] < r["key"], F.lit(-1))
+                .when(l["key"] > r["key"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        limited = F.map_from_entries(
+            F.slice(F.array_sort(F.map_entries(F.col(p[0])), cmp), 1, cap)
+        )
+        newc = F.when(guard, limited).otherwise(F.col(p[0])) if guard is not None else limited
+        st.df = st.df.withColumn(p[0], newc)
+        return
 
     if fn == "delete_key":
         target, key = args[0], _as_literal_str(args[1])

@@ -40,12 +40,23 @@ class StreamingConfig:
     checkpoint_dir: str
     max_files_per_trigger: int = 1
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    # False (default): the enriched frame is .persist()ed for the in-batch
+    # fan-out — micro-batches sized by the trigger fit executor storage, and
+    # persist measured ~20% faster than staging at 2.5M-row batches.  True:
+    # use the batch run_pipeline staged-write fan-out instead — the right
+    # setting when a batch can be arbitrarily large (first batch after long
+    # downtime, availableNow catch-up over days of input), where the staged
+    # pattern's memory-independence wins (3x at 10M+ rows).
+    stage_batches: bool = False
 
 
 def _process_batch(spark: SparkSession, cfg: StreamingConfig):
     dim = enrich_dim(spark)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+        import tempfile
+
         t0 = time.time()
         from ..plans.pipeline import resolve_salt_buckets
 
@@ -53,10 +64,21 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
             F.col("source"),
             F.pmod(F.xxhash64("doc_id"), F.lit(resolve_salt_buckets(spark, cfg.pipeline))),
         )
-        enriched = enrich_stage(
-            parse_stage(salted, use_udf=cfg.pipeline.use_udf_parse), dim
-        ).persist()
+        # fan-out strategy per cfg.stage_batches (see StreamingConfig): both
+        # paths produce identical sinks; they differ only in where the
+        # enriched frame lives during the in-batch fan-out
+        stage_dir = None
+        enriched = None
+        built = enrich_stage(parse_stage(salted, use_udf=cfg.pipeline.use_udf_parse), dim)
         try:
+            if cfg.stage_batches:
+                stage_dir = tempfile.mkdtemp(
+                    prefix=f"liatrio_stream_b{batch_id}_", dir=cfg.pipeline.scratch_dir
+                )
+                built.write.mode("overwrite").parquet(stage_dir)
+                enriched = spark.read.parquet(stage_dir)
+            else:
+                enriched = built.persist()
             routed = route_stage(enriched, cfg.pipeline)
             aggs = aggregate_stage(enriched, routed, cfg.pipeline)
             counts: dict[str, int] = {}
@@ -67,14 +89,17 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
                 # at 10^5 partitions a per-batch collect serializes on the
                 # driver); the sink count is then a one-row agg over the tiny
                 # just-written manifest parquet — no recompute of the sink
-                # DAG, O(1) driver traffic
+                # DAG, O(1) driver traffic.  Each batch lands in its own
+                # batch_id=K hive subdir so the count scan reads ONE batch's
+                # manifest — reading the whole dir would grow O(batches) and
+                # quietly dominate a long-running stream.
                 m_path = os.path.join(cfg.output_dir, "_lineage", name)
-                lineage_manifest(df, name, batch_id).coalesce(1).write.mode(
-                    "append"
-                ).parquet(m_path)
+                b_path = os.path.join(m_path, f"batch_id={batch_id}")
+                lineage_manifest(df, name, batch_id).drop("batch_id").coalesce(
+                    1
+                ).write.mode("append").parquet(b_path)
                 counts[name] = (
-                    spark.read.parquet(m_path)
-                    .filter(F.col("batch_id") == batch_id)
+                    spark.read.parquet(b_path)
                     .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
                     .first()[0]
                 )
@@ -96,7 +121,10 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
             ).withColumn("processed_at", F.current_timestamp())
             metrics.write.mode("append").parquet(os.path.join(cfg.output_dir, "_metrics"))
         finally:
-            enriched.unpersist()
+            if stage_dir is not None:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+            elif enriched is not None:
+                enriched.unpersist()
 
     return process
 

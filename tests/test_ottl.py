@@ -225,3 +225,24 @@ service:
     raw = spark.createDataFrame([(1, "x")], "ts long, body_raw string")
     with pytest.raises(ConfigError, match="unsupported OTTL function"):
         assemble(spark, cfg, AssembleContext(frames={"webhookevent": raw}))
+
+
+def test_limit_keeps_priority_then_lexicographic(spark):
+    """limit(map, N, [prio]): priority keys survive first, then the
+    lexicographically-smallest others up to N (the deterministic refinement
+    of OTTL's unspecified pick)."""
+    df = spark.createDataFrame([(1, "x")], "ts long, body_raw string")
+    chain = [
+        ("transform/t", "transform", {
+            "log_statements": [
+                'set(log.attributes["e"], "5")',
+                'set(log.attributes["a"], "1")',
+                'set(log.attributes["c"], "3")',
+                'set(log.attributes["b"], "2")',
+                'set(log.attributes["d"], "4")',
+                'limit(log.attributes, 3, ["d"])',
+            ]
+        }),
+    ]
+    [r] = ottl.compile_chain(df, chain).collect()
+    assert r["attrs"] == {"d": "4", "a": "1", "b": "2"}

@@ -246,3 +246,44 @@ def test_limit_keeps_priority_then_lexicographic(spark):
     ]
     [r] = ottl.compile_chain(df, chain).collect()
     assert r["attrs"] == {"d": "4", "a": "1", "b": "2"}
+
+
+# --- parser property tests (no Spark session needed) -------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _KEY = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_.]{0,15}", fullmatch=True)
+
+    @given(keys=st.lists(_KEY, min_size=1, max_size=4), val=_KEY)
+    @settings(max_examples=200, deadline=None)
+    def test_parser_roundtrips_set_on_attrs(keys, val):
+        """Any well-formed set(log.attributes[...], "...") parses to the
+        expected AST — the parser never mangles keys or literals."""
+        stmt = ottl.parse_statement(
+            f'set(log.attributes["{keys[0]}"], "{val}")'
+        )
+        assert stmt["fn"] == "set"
+        assert stmt["args"][0] == ("path", ("attrs", keys[0]))
+        assert stmt["args"][1] == ("str", val)
+        assert stmt["where"] is None
+
+    @given(parts=st.lists(_KEY, min_size=1, max_size=5))
+    @settings(max_examples=200, deadline=None)
+    def test_parser_roundtrips_body_paths(parts):
+        path = "log.body" + "".join(f'["{p}"]' for p in parts)
+        cond = ottl.parse_condition(f"{path} != nil")
+        assert cond == ("!=", ("path", ("body", *parts)), ("nil",))
+
+    @given(garbage=st.text(alphabet="(){}[]\"'\;%$#@!", min_size=1, max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def test_parser_never_crashes_on_garbage(garbage):
+        """Malformed input raises OttlError, never an unhandled exception."""
+        try:
+            ottl.parse_statement(garbage)
+        except ottl.OttlError:
+            pass
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass

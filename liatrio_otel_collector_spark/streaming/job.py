@@ -81,8 +81,9 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
                 enriched = built.persist()
             routed = route_stage(enriched, cfg.pipeline)
             aggs = aggregate_stage(enriched, routed, cfg.pipeline)
-            counts: dict[str, int] = {}
-            for name, df in {**routed, **aggs}.items():
+
+            def write_sink(item: tuple[str, DataFrame]) -> tuple[str, int]:
+                name, df = item
                 out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 out.write.mode("append").parquet(os.path.join(cfg.output_dir, name))
                 # the manifest frame is WRITTEN distributed (never collected:
@@ -98,12 +99,26 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
                 lineage_manifest(df, name, batch_id).drop("batch_id").coalesce(
                     1
                 ).write.mode("append").parquet(b_path)
-                counts[name] = (
+                return name, (
                     spark.read.parquet(b_path)
                     .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
                     .first()[0]
                 )
+
+            # materialize the shared frame ONCE (fills the cache / proves the
+            # staged read) before fanning out, so concurrent sinks never race
+            # to compute the same partitions
             input_rows = enriched.count()
+            # sinks write CONCURRENTLY (one driver thread each — Spark's
+            # scheduler interleaves the jobs across the executor pool): on
+            # micro-batches the per-sink job-scheduling latency is serial
+            # dead time, and the five sinks share the persisted/staged
+            # enriched frame so there is no recompute between them
+            from concurrent.futures import ThreadPoolExecutor
+
+            sinks = {**routed, **aggs}
+            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+                counts = dict(pool.map(write_sink, sinks.items()))
             elapsed = time.time() - t0
             metrics = spark.createDataFrame(
                 [

@@ -30,6 +30,7 @@ BAND_SIZE = 2  # 4 bands of 2 hashes each
 # no-ops sized far above observed widths.
 MAX_BUCKET_WIDTH = 256  # per (band_id, band_key); O(bucket) window, not O(bucket²)
 MAX_DOC_FREQ = 128  # shingles in more docs than this generate no candidates
+MAX_PROBES = 1_000_000  # contamination probe set stays broadcast-dim sized
 
 
 # Exact dedup (hash-groupBy): one surviving doc per identical text.
@@ -407,12 +408,21 @@ def contamination_scan(
     version evaluated every probe against every document
     (crossJoin + instr, O(N·P) per-row work); the output is identical (the
     DuckDB oracle still states the naive definition) but the scan now
-    survives eval-scale probe sets."""
+    survives eval-scale probe sets.
+
+    The broadcast-dim size class is ENFORCED, not assumed: collecting more
+    than MAX_PROBES probes raises before the driver materializes them —
+    callers with a larger probe side should bucket it and scan per bucket."""
     spark = documents.sparkSession
-    probe_list = [
-        (r["probe_id"], r["probe"])
-        for r in contamination_probes(documents, every_n, probe_words).collect()
-    ]
+    probes_df = contamination_probes(documents, every_n, probe_words)
+    over = probes_df.limit(MAX_PROBES + 1).count()
+    if over > MAX_PROBES:
+        raise ValueError(
+            f"contamination_scan: probe set exceeds MAX_PROBES={MAX_PROBES} — "
+            "the automaton is driver-collected (broadcast-dim size class); "
+            "split the probe side into buckets and scan per bucket"
+        )
+    probe_list = [(r["probe_id"], r["probe"]) for r in probes_df.collect()]
     bc = spark.sparkContext.broadcast(probe_list)
     _build = build_multipattern_scanner  # <locals> qualname → pickled by value
 

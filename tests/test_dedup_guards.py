@@ -214,3 +214,19 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         duplicate_clusters(edges, max_iters=1)
+
+
+def test_contamination_probe_cap_enforced(spark, monkeypatch):
+    """dd6 guard (r3 verdict watch item): the driver-side probe collect is
+    bounded by MAX_PROBES as a raise, not a comment."""
+    import pytest as _pytest
+
+    from liatrio_otel_collector_spark.operators import dedup as _dd
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(_dd, "MAX_PROBES", 3)
+    with _pytest.raises(ValueError, match="MAX_PROBES"):
+        _dd.contamination_scan(docs, every_n=1)

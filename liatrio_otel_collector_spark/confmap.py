@@ -593,3 +593,73 @@ def run_config_pipelines(
                 df.write.mode("overwrite").format(fmt).save(path)
                 results[name][eid] = spark.read.format(fmt).load(path).count()
     return results
+
+
+def start_config_stream(
+    spark: SparkSession,
+    cfg: CollectorConfig,
+    ctx: AssembleContext,
+    receiver_id: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Run the YAML-declared topology CONTINUOUSLY — the collector's actual
+    operating mode (a ticking service, config/config.yaml:24-25), not a
+    one-shot batch.  ``stream_df`` is a streaming DataFrame standing in for
+    the push receiver ``receiver_id``; every micro-batch re-assembles the
+    SAME declared pipelines with the batch frame injected as that receiver
+    (one topology definition, two execution modes) and appends each
+    non-connector exporter's sink under ctx.output_dir/<pipeline>/<id>.
+    The checkpoint makes the whole config-driven job resumable."""
+    if ctx.output_dir is None:
+        raise ConfigError("start_config_stream needs ctx.output_dir for sinks")
+    if not any(
+        receiver_id in p["receivers"] for p in cfg.pipelines.values()
+    ):
+        raise ConfigError(f"no pipeline lists receiver {receiver_id!r}")
+    # only pipelines downstream of the streaming receiver (directly, or via
+    # connector bridges) get written per batch — a static scraper pipeline
+    # in the same config must not be re-materialized every micro-batch
+    affected = {n for n, p in cfg.pipelines.items() if receiver_id in p["receivers"]}
+    changed = True
+    while changed:
+        changed = False
+        conns = {
+            e
+            for n in affected
+            for e in cfg.pipelines[n]["exporters"]
+            if e in cfg.connectors
+        }
+        for n, p in cfg.pipelines.items():
+            if n not in affected and any(r in conns for r in p["receivers"]):
+                affected.add(n)
+                changed = True
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bctx = AssembleContext(
+            sf_dir=ctx.sf_dir,
+            frames={**ctx.frames, receiver_id: batch_df},
+            components_dim=ctx.components_dim,
+            output_dir=ctx.output_dir,
+            sink_format=ctx.sink_format,
+        )
+        built = assemble(spark, cfg, bctx)
+        for name, df in built.items():
+            if name not in affected:
+                continue
+            out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            for eid in cfg.pipelines[name]["exporters"]:
+                if eid in cfg.connectors:
+                    continue  # bridged into another pipeline; written there
+                path = os.path.join(ctx.output_dir, name, eid.replace("/", "_"))
+                out.write.mode("append").format(ctx.sink_format).save(path)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()

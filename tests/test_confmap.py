@@ -441,3 +441,87 @@ service:
     got = sorted(map(tuple, built["metrics"].collect()))
     want = sorted(map(tuple, count_connector(fan_in(spans_a, spans_b)).collect()))
     assert got == want and len(got) > 0
+
+
+def test_config_driven_streaming(spark, tmp_path):
+    """start_config_stream: the YAML topology runs CONTINUOUSLY — each
+    micro-batch re-assembles the declared pipelines with the batch frame
+    injected as the push receiver; sinks accumulate across batches and a
+    resumed run (same checkpoint) processes only unseen input.  A static
+    pipeline in the same config is NOT re-materialized per batch."""
+    import os as _os
+    import time as _time
+
+    from liatrio_otel_collector_spark.confmap import start_config_stream
+
+    yaml_text = """
+receivers:
+  webhookevent: {}
+  sequences:
+    n_rows: 100
+processors:
+  parse_tokens: {}
+  filter/logs:
+    where: "severity IN ('warn','error','fatal')"
+  rollup/static:
+    group_by: [source]
+exporters:
+  file: {}
+service:
+  pipelines:
+    logs:
+      receivers: [webhookevent]
+      processors: [parse_tokens, filter/logs]
+      exporters: [file]
+    static:
+      receivers: [sequences]
+      processors: [parse_tokens, rollup/static]
+      exporters: [file]
+"""
+    cfg = load_config(yaml_text)
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(indir)
+    from liatrio_otel_collector_spark.sources.sequences import sequences
+
+    seq_schema = "doc_id string, tokens array<int>, n_tok int, source string, id bigint"
+    sequences(spark, 1000).coalesce(1).write.parquet(_os.path.join(indir, "b0"))
+    _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(seq_schema).option("maxFilesPerTrigger", 1).parquet(indir + "/*")
+    )
+    ctx = AssembleContext(output_dir=out)
+    q = start_config_stream(spark, cfg, ctx, "webhookevent", stream, ckpt)
+    q.awaitTermination(120)
+
+    logs = spark.read.parquet(_os.path.join(out, "logs", "file"))
+    n1 = logs.count()
+    assert n1 > 0
+    # the static (non-streamed) pipeline was not written by the stream run
+    assert not _os.path.exists(_os.path.join(out, "static"))
+
+    # resume: a second input file, same checkpoint -> only the new rows land
+    spark.createDataFrame(
+        [("extra-1", [1, 2, 3], 3, "github", 99991)], seq_schema
+    ).coalesce(1).write.parquet(_os.path.join(indir, "b1"))
+    stream2 = (
+        spark.readStream.schema(seq_schema).option("maxFilesPerTrigger", 1).parquet(indir + "/*")
+    )
+    q2 = start_config_stream(spark, cfg, ctx, "webhookevent", stream2, ckpt)
+    q2.awaitTermination(120)
+    logs2 = spark.read.parquet(_os.path.join(out, "logs", "file"))
+    n2 = logs2.count()
+    assert n2 - n1 in (0, 1)  # the one extra row, if its severity routes to logs
+    # batch twin equality on the first batch's rows: same filter, same parse
+    from pyspark.sql import functions as F
+    from liatrio_otel_collector_spark.plans.pipeline import parse_stage
+
+    want = (
+        parse_stage(sequences(spark, 1000))
+        .filter(F.expr("severity IN ('warn','error','fatal')"))
+        .count()
+    )
+    assert n1 == want
+    # batch ids recorded on every sink row
+    assert set(r["batch_id"] for r in logs2.select("batch_id").distinct().collect()) <= {0, 1}

@@ -259,23 +259,42 @@ def parse_condition(text: str) -> Any:
 def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
     """Flatten a run of transform/filter processor configs into an ordered
     statement list.  Transform configs carry ``log_statements`` as either
-    flat strings or ``{context, statements}`` groups (both reference forms);
-    filter configs carry ``logs: {log_record: [cond...]}`` where each
-    condition DROPS matching records."""
+    flat strings or ``{context, statements}`` groups (both reference forms;
+    group-level ``conditions`` AND into every member statement's where —
+    the transformprocessor's group gating).  Filter configs carry
+    ``logs: {log_record: [cond...]}`` where each condition DROPS matching
+    records."""
     program: list[dict[str, Any]] = []
+    _GROUP_KEYS = {"context", "statements", "conditions", "error_mode"}
     for pid, ptype, pcfg in chain:
         if ptype == "transform":
             for entry in pcfg.get("log_statements") or []:
-                stmts = (
-                    entry["statements"]
-                    if isinstance(entry, dict)
-                    else [entry]
-                )
+                group_conds: list[Any] = []
+                if isinstance(entry, dict):
+                    unknown = set(entry) - _GROUP_KEYS
+                    if unknown:
+                        raise OttlError(
+                            f"processor {pid!r}: unknown statement-group key(s) "
+                            f"{sorted(unknown)} — refusing to silently ignore them"
+                        )
+                    stmts = entry["statements"]
+                    for c in entry.get("conditions") or []:
+                        try:
+                            group_conds.append(parse_condition(str(c)))
+                        except OttlError as e:
+                            raise OttlError(f"processor {pid!r}: {e}") from None
+                else:
+                    stmts = [entry]
                 for s in stmts:
                     try:
-                        program.append(parse_statement(str(s)))
+                        stmt = parse_statement(str(s))
                     except OttlError as e:
                         raise OttlError(f"processor {pid!r}: {e}") from None
+                    for c in group_conds:
+                        stmt["where"] = (
+                            c if stmt["where"] is None else ("and", c, stmt["where"])
+                        )
+                    program.append(stmt)
         elif ptype == "filter":
             for cond in (pcfg.get("logs") or {}).get("log_record") or []:
                 try:

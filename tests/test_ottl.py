@@ -287,3 +287,31 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked into this env
     pass
+
+
+def test_group_conditions_gate_statements(spark):
+    """transformprocessor group-level `conditions` AND into each member
+    statement's where clause; unknown group keys refuse loudly."""
+    df = spark.createDataFrame(
+        [(1, '{"kind":"a","v":"x"}'), (2, '{"kind":"b","v":"y"}')],
+        "ts long, body_raw string",
+    )
+    chain = [
+        ("transform/t", "transform", {
+            "log_statements": [
+                {"context": "log", "statements": ["set(log.body, ParseJSON(log.body))"]},
+                {
+                    "context": "log",
+                    "conditions": ['log.body["kind"] == "a"'],
+                    "statements": ['set(log.attributes["hit"], log.body["v"])'],
+                },
+            ]
+        }),
+    ]
+    rows = {r["ts"]: r["attrs"] for r in ottl.compile_chain(df, chain).collect()}
+    assert rows[1] == {"hit": "x"} and rows[2] == {}
+
+    with pytest.raises(ottl.OttlError, match="unknown statement-group key"):
+        ottl.extract_program(
+            [("transform/t", "transform", {"log_statements": [{"statements": [], "typo": 1}]})]
+        )

@@ -25,11 +25,15 @@ declaration order, exactly like the collector chains them. Exporters fan
 the SAME DataFrame out (K3): `debug` counts, `file`/`otlphttp` write
 columnar sinks.
 
-OTTL programs are NOT interpreted: the two reference transform/filter
-instances ship as named analogs (`analog: ...` — the re-expressed Catalyst
-plans in plans/logs.py), and generic `where:` / `set:` clauses cover the
-palette's simple cases with F.expr. That keeps the hot path JVM-side; an
-OTTL frontend would compile to the same expressions.
+OTTL programs compile (r4): transform `log_statements` and filter
+`logs.log_record` conditions go through ottl.py — a real statement compiler
+(set/keep_keys/delete_key/limit, ParseJSON/Concat/IsMatch, where clauses)
+that emits the same JVM-side Catalyst expressions the hand-written analogs
+in plans/logs.py use; consecutive transform/filter processors compile as
+one unit so keep_keys-derived schemas inform earlier ParseJSON calls.  The
+named analogs (`analog: ...`) and generic `where:` / `set:` clauses remain
+as shorthand.  `start_config_stream` runs the declared topology
+continuously (foreachBatch re-assembly per micro-batch, checkpointed).
 """
 
 from __future__ import annotations

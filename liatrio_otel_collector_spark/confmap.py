@@ -641,6 +641,11 @@ def start_config_stream(
                 changed = True
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from .plans.lineage import lineage_manifest
+
+        t0 = _time.time()
         bctx = AssembleContext(
             sf_dir=ctx.sf_dir,
             frames={**ctx.frames, receiver_id: batch_df},
@@ -649,6 +654,7 @@ def start_config_stream(
             sink_format=ctx.sink_format,
         )
         built = assemble(spark, cfg, bctx)
+        rows_per_pipeline: dict[str, int] = {}
         for name, df in built.items():
             if name not in affected:
                 continue
@@ -658,6 +664,38 @@ def start_config_stream(
                     continue  # bridged into another pipeline; written there
                 path = os.path.join(ctx.output_dir, name, eid.replace("/", "_"))
                 out.write.mode("append").format(ctx.sink_format).save(path)
+            # per-partition lineage + the per-batch row count off its tiny
+            # manifest — same contract as streaming/job.py (north rule:
+            # lineage manifests + self-observability on EVERY streaming path)
+            b_path = os.path.join(
+                ctx.output_dir, "_lineage", name, f"batch_id={batch_id}"
+            )
+            lineage_manifest(df, name, batch_id).drop("batch_id").coalesce(
+                1
+            ).write.mode("append").format(ctx.sink_format).save(b_path)
+            rows_per_pipeline[name] = (
+                spark.read.format(ctx.sink_format)
+                .load(b_path)
+                .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
+                .first()[0]
+            )
+        elapsed = _time.time() - t0
+        total = sum(rows_per_pipeline.values())
+        spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(total),
+                    float(elapsed),
+                    float(total / elapsed) if elapsed > 0 else 0.0,
+                    str(sorted(rows_per_pipeline.items())),
+                )
+            ],
+            "batch_id long, routed_rows long, process_sec double, "
+            "rows_per_sec double, per_pipeline string",
+        ).withColumn("processed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).format(ctx.sink_format).save(os.path.join(ctx.output_dir, "_metrics"))
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

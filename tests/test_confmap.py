@@ -525,3 +525,11 @@ service:
     assert n1 == want
     # batch ids recorded on every sink row
     assert set(r["batch_id"] for r in logs2.select("batch_id").distinct().collect()) <= {0, 1}
+    # self-observability: lineage manifests cover every routed row, and the
+    # _metrics table carries one row per batch (same contract as the
+    # flagship streaming job)
+    lineage = spark.read.parquet(_os.path.join(out, "_lineage", "logs"))
+    assert lineage.agg(F.sum("row_count")).first()[0] == n2
+    metrics = spark.read.parquet(_os.path.join(out, "_metrics"))
+    assert metrics.count() >= 1
+    assert metrics.agg(F.sum("routed_rows")).first()[0] >= n2

@@ -210,6 +210,15 @@ def load_config(text: str, env: dict[str, str] | None = None) -> CollectorConfig
         if not recs or not exps:
             # collector service validation: >=1 receiver and >=1 exporter
             raise ConfigError(f"pipeline {name!r} needs >=1 receiver and >=1 exporter")
+        for kind, lst in (("receivers", recs), ("processors", procs), ("exporters", exps)):
+            dupes = sorted({x for x in lst if lst.count(x) > 1})
+            if dupes:
+                # a duplicated connector exporter would feed the connector
+                # the same frame twice and silently double every downstream
+                # count (review finding r4); reject all duplicate refs
+                raise ConfigError(
+                    f"pipeline {name!r}: duplicate {kind} entr{'ies' if len(dupes) > 1 else 'y'} {dupes}"
+                )
         # connectors are valid on BOTH ends: exporter of one pipeline,
         # receiver of another (the collector's pipeline-bridging model)
         for r in recs:
@@ -658,27 +667,35 @@ def start_config_stream(
         for name, df in built.items():
             if name not in affected:
                 continue
-            out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            for eid in cfg.pipelines[name]["exporters"]:
-                if eid in cfg.connectors:
-                    continue  # bridged into another pipeline; written there
-                path = os.path.join(ctx.output_dir, name, eid.replace("/", "_"))
-                out.write.mode("append").format(ctx.sink_format).save(path)
-            # per-partition lineage + the per-batch row count off its tiny
-            # manifest — same contract as streaming/job.py (north rule:
-            # lineage manifests + self-observability on EVERY streaming path)
-            b_path = os.path.join(
-                ctx.output_dir, "_lineage", name, f"batch_id={batch_id}"
-            )
-            lineage_manifest(df, name, batch_id).drop("batch_id").coalesce(
-                1
-            ).write.mode("append").format(ctx.sink_format).save(b_path)
-            rows_per_pipeline[name] = (
-                spark.read.format(ctx.sink_format)
-                .load(b_path)
-                .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
-                .first()[0]
-            )
+            # each pipeline frame feeds every exporter write PLUS the
+            # lineage manifest — persist it for the fan-out so the
+            # processor chain runs once per batch, not once per consumer
+            # (review finding r4), mirroring streaming/job.py
+            df = df.persist()
+            try:
+                out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                for eid in cfg.pipelines[name]["exporters"]:
+                    if eid in cfg.connectors:
+                        continue  # bridged into another pipeline; written there
+                    path = os.path.join(ctx.output_dir, name, eid.replace("/", "_"))
+                    out.write.mode("append").format(ctx.sink_format).save(path)
+                # per-partition lineage + the per-batch row count off its tiny
+                # manifest — same contract as streaming/job.py (north rule:
+                # lineage manifests + self-observability on EVERY streaming path)
+                b_path = os.path.join(
+                    ctx.output_dir, "_lineage", name, f"batch_id={batch_id}"
+                )
+                lineage_manifest(df, name, batch_id).drop("batch_id").coalesce(
+                    1
+                ).write.mode("append").format(ctx.sink_format).save(b_path)
+                rows_per_pipeline[name] = (
+                    spark.read.format(ctx.sink_format)
+                    .load(b_path)
+                    .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
+                    .first()[0]
+                )
+            finally:
+                df.unpersist()
         elapsed = _time.time() - t0
         total = sum(rows_per_pipeline.values())
         spark.createDataFrame(

@@ -415,14 +415,17 @@ def contamination_scan(
     callers with a larger probe side should bucket it and scan per bucket."""
     spark = documents.sparkSession
     probes_df = contamination_probes(documents, every_n, probe_words)
-    over = probes_df.limit(MAX_PROBES + 1).count()
-    if over > MAX_PROBES:
+    # ONE job both enforces the cap and materializes the probes: collecting
+    # limit(MAX+1) bounds driver memory to the cap either way, and a second
+    # full pass just to count would double the probe-extraction scan
+    rows = probes_df.limit(MAX_PROBES + 1).collect()
+    if len(rows) > MAX_PROBES:
         raise ValueError(
             f"contamination_scan: probe set exceeds MAX_PROBES={MAX_PROBES} — "
             "the automaton is driver-collected (broadcast-dim size class); "
             "split the probe side into buckets and scan per bucket"
         )
-    probe_list = [(r["probe_id"], r["probe"]) for r in probes_df.collect()]
+    probe_list = [(r["probe_id"], r["probe"]) for r in rows]
     bc = spark.sparkContext.broadcast(probe_list)
     _build = build_multipattern_scanner  # <locals> qualname → pickled by value
 
@@ -483,18 +486,27 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     # through the loop's lineage
     sc_jsc = edges.sparkSession.sparkContext._jsc
 
-    def _persistent_ids() -> set[int]:
-        return {int(k) for k in sc_jsc.getPersistentRDDs().keySet().toArray()}
+    def _ckpt_rdd_id(df: DataFrame) -> int | None:
+        """The checkpointed RDD's id, read straight off the LogicalRDD the
+        checkpoint produced — exact ownership, so freeing it can never touch
+        RDDs a CONCURRENT query persisted (review finding r4: a global
+        before/after diff on the persistent-RDD map could sweep a foreign
+        localCheckpoint into the free list and truncate that job's lineage)."""
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None  # plan shape changed across Spark versions: skip cleanup
 
-    def _unpersist(ids: set[int]) -> None:
+    def _unpersist_id(rid: int | None) -> None:
+        if rid is None:
+            return
         jmap = sc_jsc.getPersistentRDDs()
         for k in jmap.keySet().toArray():
-            if int(k) in ids:
+            if int(k) == rid:
                 jmap.get(k).unpersist()
 
-    _before_edges = _persistent_ids()
     edges = edges.localCheckpoint(eager=True)
-    edge_ids = _persistent_ids() - _before_edges
+    edges_id = _ckpt_rdd_id(edges)
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
@@ -508,13 +520,11 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     # pinned for the SESSION — a 20-round CC over a large graph would hold
     # 20 generations of labels in executor storage (measured: lingering
     # blocks from one bench query degraded a later unrelated 10M-row run
-    # 1.8x).  Track the RDD ids each round creates (bracketing probes on the
-    # JVM persistent-RDD map) and free the previous generation as soon as
-    # the next one is eagerly materialized; only ids created inside our own
-    # bracket are touched.
+    # 1.8x).  Free the previous generation as soon as the next one is
+    # eagerly materialized, addressing each checkpoint by ITS OWN rdd id.
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     changed = 1
-    prev_round_ids: set[int] = set()
+    prev_round_id: int | None = None
     for _ in range(max_iters):
         # hop 1: for each dst, the min label among its graph neighbors
         neigh = (
@@ -556,19 +566,17 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                 (F.col("cluster_id") < F.col("_qlabel")).alias("_changed"),
             )
         )
-        before = _persistent_ids()
         updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
-        this_round_ids = _persistent_ids() - before
-        _unpersist(prev_round_ids)  # previous generation no longer reachable
-        prev_round_ids = this_round_ids
+        _unpersist_id(prev_round_id)  # previous generation no longer reachable
+        prev_round_id = _ckpt_rdd_id(updated)
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
             break
-    _unpersist(edge_ids)  # labels are checkpointed; the edge copy is done
+    _unpersist_id(edges_id)  # labels are checkpointed; the edge copy is done
     if changed != 0:
         raise RuntimeError(
             f"duplicate_clusters: no fixpoint after {max_iters} pointer-doubling "
-            "rounds (diameter > 2^{max_iters}); refusing to return partial labels"
+            f"rounds (diameter > 2^{max_iters}); refusing to return partial labels"
         )
     return labels

@@ -269,7 +269,7 @@ def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
     for pid, ptype, pcfg in chain:
         if ptype == "transform":
             for entry in pcfg.get("log_statements") or []:
-                group_conds: list[Any] = []
+                gate: Any = None
                 if isinstance(entry, dict):
                     unknown = set(entry) - _GROUP_KEYS
                     if unknown:
@@ -277,12 +277,26 @@ def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
                             f"processor {pid!r}: unknown statement-group key(s) "
                             f"{sorted(unknown)} — refusing to silently ignore them"
                         )
+                    context = entry.get("context", "log")
+                    if context != "log":
+                        raise OttlError(
+                            f"processor {pid!r}: unsupported statement context "
+                            f"{context!r} (only 'log' compiles; refusing to "
+                            "misroute resource/span statements into log columns)"
+                        )
+                    if "statements" not in entry:
+                        raise OttlError(
+                            f"processor {pid!r}: statement group has no 'statements'"
+                        )
                     stmts = entry["statements"]
+                    # transformprocessor semantics: the group executes when
+                    # ANY of its conditions is true — OR them into one gate
                     for c in entry.get("conditions") or []:
                         try:
-                            group_conds.append(parse_condition(str(c)))
+                            parsed_c = parse_condition(str(c))
                         except OttlError as e:
                             raise OttlError(f"processor {pid!r}: {e}") from None
+                        gate = parsed_c if gate is None else ("or", gate, parsed_c)
                 else:
                     stmts = [entry]
                 for s in stmts:
@@ -290,9 +304,11 @@ def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
                         stmt = parse_statement(str(s))
                     except OttlError as e:
                         raise OttlError(f"processor {pid!r}: {e}") from None
-                    for c in group_conds:
+                    if gate is not None:
                         stmt["where"] = (
-                            c if stmt["where"] is None else ("and", c, stmt["where"])
+                            gate
+                            if stmt["where"] is None
+                            else ("and", gate, stmt["where"])
                         )
                     program.append(stmt)
         elif ptype == "filter":

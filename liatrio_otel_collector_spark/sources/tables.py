@@ -59,8 +59,16 @@ def ensure_parallel_scan(df: DataFrame) -> DataFrame:
 
 def needs_widening(df: DataFrame) -> bool:
     """True when a file-backed scan genuinely cannot feed every slot.
-    Shared probe for ensure_parallel_scan and operators/dedup.py::shingles."""
-    sc = df.sparkSession.sparkContext
+    Shared probe for ensure_parallel_scan and operators/dedup.py::shingles.
+
+    The scan's achievable parallelism is bounded BOTH by byte-range
+    splitting (Spark carves files into ~maxPartitionBytes ranges — a small
+    file is one range no matter how many row groups it has) AND by row-group
+    boundaries (a range can only start reading at a row group — a huge
+    single-row-group file is one task no matter how many ranges).  Take the
+    min of the two bounds; either alone over-estimates."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     files = df.inputFiles()
     if not files:
         return False  # non-file source: already distributed by its own plan
@@ -69,11 +77,18 @@ def needs_widening(df: DataFrame) -> bool:
     try:
         import pyarrow.parquet as pq
 
-        row_groups = sum(
-            pq.ParquetFile(f.removeprefix("file:")).metadata.num_row_groups for f in files
+        row_groups = 0
+        total_bytes = 0
+        for f in files:
+            path = f.removeprefix("file:")
+            row_groups += pq.ParquetFile(path).metadata.num_row_groups
+            total_bytes += os.path.getsize(path)
+        max_part = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
         )
-        if row_groups >= sc.defaultParallelism:
-            return False  # reader splits row groups itself; scan is already wide
+        byte_ranges = max(1, (total_bytes + max_part - 1) // max_part)
+        if min(row_groups, byte_ranges) >= sc.defaultParallelism:
+            return False  # the reader already splits this scan wide enough
     except Exception:
         pass  # remote paths / non-parquet: fall through, repartition is safe
     return True

@@ -117,8 +117,10 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
             from concurrent.futures import ThreadPoolExecutor
 
             sinks = {**routed, **aggs}
-            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-                counts = dict(pool.map(write_sink, sinks.items()))
+            counts = {}
+            if sinks:  # all-sinks-disabled configs still get a _metrics row
+                with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+                    counts = dict(pool.map(write_sink, sinks.items()))
             elapsed = time.time() - t0
             metrics = spark.createDataFrame(
                 [

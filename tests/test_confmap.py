@@ -533,3 +533,30 @@ service:
     metrics = spark.read.parquet(_os.path.join(out, "_metrics"))
     assert metrics.count() >= 1
     assert metrics.agg(F.sum("routed_rows")).first()[0] >= n2
+
+
+def test_duplicate_pipeline_refs_rejected():
+    """A duplicated connector exporter would feed the connector the same
+    frame twice and silently double every downstream count (review finding
+    r4) — duplicates in any pipeline component list are config errors."""
+    with pytest.raises(ConfigError, match="duplicate exporters"):
+        load_config(
+            """
+receivers:
+  webhookevent: {}
+connectors:
+  count: {}
+exporters:
+  debug: {}
+service:
+  pipelines:
+    traces:
+      receivers: [webhookevent]
+      processors: []
+      exporters: [count, count, debug]
+    metrics:
+      receivers: [count]
+      processors: []
+      exporters: [debug]
+"""
+        )

@@ -315,3 +315,44 @@ def test_group_conditions_gate_statements(spark):
         ottl.extract_program(
             [("transform/t", "transform", {"log_statements": [{"statements": [], "typo": 1}]})]
         )
+
+
+def test_group_conditions_are_or_combined(spark):
+    """transformprocessor semantics: a statement group executes when ANY of
+    its conditions is true (OR), not all (review finding r4)."""
+    df = spark.createDataFrame(
+        [(1, '{"kind":"a","v":"x"}'), (2, '{"kind":"b","v":"y"}'), (3, '{"kind":"c","v":"z"}')],
+        "ts long, body_raw string",
+    )
+    chain = [
+        ("transform/t", "transform", {
+            "log_statements": [
+                {"context": "log", "statements": ["set(log.body, ParseJSON(log.body))"]},
+                {
+                    "context": "log",
+                    "conditions": ['log.body["kind"] == "a"', 'log.body["kind"] == "b"'],
+                    "statements": ['set(log.attributes["hit"], log.body["v"])'],
+                },
+            ]
+        }),
+    ]
+    rows = {r["ts"]: r["attrs"] for r in ottl.compile_chain(df, chain).collect()}
+    assert rows[1] == {"hit": "x"} and rows[2] == {"hit": "y"} and rows[3] == {}
+
+
+def test_non_log_context_rejected():
+    with pytest.raises(ottl.OttlError, match="unsupported statement context"):
+        ottl.extract_program(
+            [("transform/t", "transform", {
+                "log_statements": [{"context": "resource", "statements": ['set(attributes["k"], "v")']}]
+            })]
+        )
+
+
+def test_group_without_statements_rejected():
+    with pytest.raises(ottl.OttlError, match="no 'statements'"):
+        ottl.extract_program(
+            [("transform/t", "transform", {
+                "log_statements": [{"context": "log", "conditions": ["body != nil"]}]
+            })]
+        )

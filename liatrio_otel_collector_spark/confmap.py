@@ -99,7 +99,7 @@ _TOP_KEYS = {"extensions", "receivers", "processors", "exporters", "connectors",
 _PIPELINE_KEYS = {"receivers", "processors", "exporters"}
 
 # component type = the id segment before '/', collector naming convention
-_RECEIVER_TYPES = {"github", "gitlab", "azuredevops", "webhookevent", "otlp", "sequences"}
+_RECEIVER_TYPES = {"github", "gitlab", "azuredevops", "webhookevent", "otlp", "sequences", "file"}
 _PROCESSOR_TYPES = {
     "transform",
     "filter",
@@ -356,6 +356,14 @@ def _build_receiver(spark: SparkSession, rid: str, rcfg: dict, ctx: AssembleCont
         )
     if rtype == "sequences":
         return sequences(spark, int(rcfg.get("n_rows", 1000)))
+    if rtype == "file":
+        # filereceiver analog: a columnar table path IS the batch-mode
+        # listening socket; format defaults to parquet, schema comes from
+        # the files (predicate pushdown/pruning reach the scan as usual)
+        path = rcfg.get("path")
+        if not path:
+            raise ConfigError(f"receiver {rid!r}: file receiver needs 'path'")
+        return spark.read.format(rcfg.get("format", "parquet")).load(str(path))
     # push receivers (webhookevent, otlp): a listening socket has no batch
     # analog — the caller injects the received frame under the receiver id
     if rid in ctx.frames:

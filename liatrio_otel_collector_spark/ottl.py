@@ -10,8 +10,9 @@ Spark plan instead of a ConfigError.
 Supported surface (the subset the reference palette actually uses):
 
   statements   set(path, expr) / keep_keys(path, [k...]) /
-               delete_key(path, "k") / limit(path, N, [prio...]), each
-               with an optional ``where <bool-expr>`` suffix
+               delete_key(path, "k") / limit(path, N, [prio...]) /
+               replace_pattern(path, "re", "repl"), each with an optional
+               ``where <bool-expr>`` suffix
   functions    ParseJSON(e), Concat([e...], sep), IsMatch(e, pattern)
   paths        log.body[...]..., log.attributes["k"],
                resource.attributes["k"], log.severity_text, bare
@@ -560,6 +561,33 @@ def _apply_statement(st: _State, stmt: dict[str, Any], schema: str, tree: dict) 
         newc = F.when(guard, limited).otherwise(F.col(p[0])) if guard is not None else limited
         st.df = st.df.withColumn(p[0], newc)
         return
+
+    if fn == "replace_pattern":
+        # replace_pattern(target, "regex", "replacement"): regex rewrite in
+        # place.  OTTL's $$1 capture references map to Java's $1.
+        target = args[0]
+        if target[0] != "path":
+            raise OttlError("replace_pattern() target must be a path")
+        pattern = _as_literal_str(args[1])
+        repl = _as_literal_str(args[2]).replace("$$", "$")
+        p = target[1]
+        if p[0] in ("attrs", "resource") and len(p) == 2:
+            cur = F.col(p[0])[p[1]]
+            newv = F.regexp_replace(cur, pattern, repl)
+            cond = cur.isNotNull() if guard is None else (guard & cur.isNotNull())
+            without = F.map_filter(F.col(p[0]), lambda k, _: k != F.lit(p[1]))
+            entry = F.when(cond, F.create_map(F.lit(p[1]), newv)).otherwise(_empty_map())
+            kept = F.when(cond, without).otherwise(F.col(p[0]))
+            st.df = st.df.withColumn(p[0], F.map_concat(kept, entry))
+            return
+        if len(p) == 1 and p[0] not in ("attrs", "resource", "body"):
+            cur = F.col(p[0])
+            newv = F.regexp_replace(cur, pattern, repl)
+            st.df = st.df.withColumn(
+                p[0], F.when(guard, newv).otherwise(cur) if guard is not None else newv
+            )
+            return
+        raise OttlError(f"unsupported replace_pattern target {p!r}")
 
     if fn == "delete_key":
         target, key = args[0], _as_literal_str(args[1])

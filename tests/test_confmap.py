@@ -560,3 +560,33 @@ service:
       exporters: [debug]
 """
         )
+
+
+def test_file_receiver(spark, tmp_path):
+    """file receiver: a columnar table path is the batch-mode socket; the
+    declared pipeline reads it like any other receiver."""
+    import os as _os
+
+    p = str(tmp_path / "events_in")
+    spark.createDataFrame(
+        [("d1", 3, "github"), ("d2", 5, "gitlab")], "doc_id string, n_tok int, source string"
+    ).write.parquet(p)
+    cfg = load_config(
+        f"""
+receivers:
+  file/in:
+    path: {p}
+processors: {{}}
+exporters:
+  debug: {{}}
+service:
+  pipelines:
+    logs:
+      receivers: [file/in]
+      processors: []
+      exporters: [debug]
+"""
+    )
+    built = assemble(spark, cfg, AssembleContext())
+    assert built["logs"].count() == 2
+    assert set(built["logs"].columns) == {"doc_id", "n_tok", "source"}

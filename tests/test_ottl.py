@@ -356,3 +356,20 @@ def test_group_without_statements_rejected():
                 "log_statements": [{"context": "log", "conditions": ["body != nil"]}]
             })]
         )
+
+
+def test_replace_pattern_on_attrs(spark):
+    """replace_pattern rewrites in place with Java-mapped $$1 captures and
+    leaves missing keys untouched."""
+    df = spark.createDataFrame([(1, "x")], "ts long, body_raw string")
+    chain = [
+        ("transform/t", "transform", {
+            "log_statements": [
+                'set(log.attributes["url"], "https://api.github.com/repos/o/r")',
+                'replace_pattern(log.attributes["url"], "api\\.github\\.com/repos", "github.com")',
+                'replace_pattern(log.attributes["missing"], "x", "y")',
+            ]
+        }),
+    ]
+    [r] = ottl.compile_chain(df, chain).collect()
+    assert r["attrs"] == {"url": "https://github.com/o/r"}

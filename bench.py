@@ -151,8 +151,12 @@ def main() -> None:
 
     per_query: dict[str, float] = {"pipeline_e2e": round(e2e, 3)}
     per_query["pipeline_e2e_skewed"] = min(skew_runs)
-    _gc()
+    # GC before EVERY per-query leg, not once before the loop: late legs in
+    # the list otherwise inherit the heap debt of earlier ones and pay it as
+    # mid-run pauses (the r4 pl7 "regression" — a byte-identical plan reading
+    # 1.23x slower purely from loop position).
     for name in BENCH_QUERIES:
+        _gc()
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).count()
         per_query[name] = round(time.time() - t0, 3)

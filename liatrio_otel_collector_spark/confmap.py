@@ -384,16 +384,24 @@ _FILTER_ANALOGS: dict[str, Callable[[DataFrame], DataFrame]] = {
 def _is_ottl(pid: str, pcfg: dict) -> bool:
     """OTTL-program processors (compiled by ottl.compile_chain over the
     pipeline's consecutive run so later keep_keys inform earlier ParseJSON):
-    transform with ``log_statements``, filter with ``logs.log_record``."""
+    transform with ``{log,trace,metric}_statements``, filter with
+    ``logs.log_record`` / ``traces.span`` / ``metrics.datapoint``."""
     ptype = _ctype(pid)
     if ptype == "transform":
-        return "log_statements" in pcfg
+        return any(
+            k in pcfg for k in ("log_statements", "trace_statements", "metric_statements")
+        )
     if ptype == "filter":
-        return isinstance(pcfg.get("logs"), dict) and "log_record" in pcfg["logs"]
+        for sig, key in (("logs", "log_record"), ("traces", "span"), ("metrics", "datapoint")):
+            if isinstance(pcfg.get(sig), dict) and key in pcfg[sig]:
+                return True
+        return False
     return False
 
 
-def _apply_processor(df: DataFrame, pid: str, pcfg: dict, ctx: AssembleContext) -> DataFrame:
+def _apply_processor(
+    df: DataFrame, pid: str, pcfg: dict, ctx: AssembleContext, signal: str = "logs"
+) -> DataFrame:
     ptype = _ctype(pid)
     if _is_ottl(pid, pcfg):
         # single OTTL processor outside a detected run (assemble batches
@@ -401,7 +409,7 @@ def _apply_processor(df: DataFrame, pid: str, pcfg: dict, ctx: AssembleContext) 
         from . import ottl
 
         try:
-            return ottl.compile_chain(df, [(pid, ptype, pcfg)])
+            return ottl.compile_chain(df, [(pid, ptype, pcfg)], signal=signal)
         except ottl.OttlError as e:
             raise ConfigError(f"processor {pid!r}: {e}") from None
     if ptype == "transform":
@@ -547,6 +555,11 @@ def assemble(
             ]
             df = frames[0] if len(frames) == 1 else fan_in(*frames)
             procs = p["processors"]
+            # the pipeline's signal (logs/traces/metrics, before any '/name'
+            # suffix) picks which OTTL statement lists compile and onto which
+            # context's columns — same dispatch as the collector's service
+            # graph handing each processor the signal's pdata type
+            signal = name.split("/", 1)[0]
             i = 0
             while i < len(procs):
                 pid = procs[i]
@@ -561,11 +574,11 @@ def assemble(
                     from . import ottl
 
                     try:
-                        df = ottl.compile_chain(df, run)
+                        df = ottl.compile_chain(df, run, signal=signal if signal in ("logs", "traces", "metrics") else "logs")
                     except ottl.OttlError as e:
                         raise ConfigError(f"pipeline {name!r} OTTL chain: {e}") from None
                 else:
-                    df = _apply_processor(df, pid, cfg.processors[pid], ctx)
+                    df = _apply_processor(df, pid, cfg.processors[pid], ctx, signal=signal if signal in ("logs", "traces", "metrics") else "logs")
                     i += 1
             out[name] = df
             for e in p["exporters"]:

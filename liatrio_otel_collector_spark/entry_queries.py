@@ -2564,6 +2564,238 @@ FROM events WHERE event_id % 3 = 0
 )(_cm2)
 
 # ---------------------------------------------------------------------------
+# r5: cm3 — OTTL span context (VERDICT r4 item 4): the transformprocessor
+# ships for ALL signals (/root/reference/config/manifest.yaml:40); this row
+# compiles a trace_statements program — status remap, merge_maps,
+# replace_all_patterns, delete_matching_keys, truncate_all — plus a traces
+# filterprocessor over S26-style ADO spans (plans/ado_traces.py), all from
+# collector YAML.  DuckDB recomputes every surviving attribute.
+# ---------------------------------------------------------------------------
+
+_CM3_YAML = r"""
+receivers:
+  otlp: {}
+processors:
+  transform/spans:
+    error_mode: ignore
+    trace_statements:
+      - context: span
+        statements:
+          - replace_pattern(span.name, "^Pipeline ", "")
+          - set(span.status.code, 2) where resource.attributes["cicd.pipeline.run.result"] == "failed"
+          - set(span.status.code, 1) where span.status.code == nil
+          - set(span.attributes["run.url"], resource.attributes["cicd.pipeline.run.url"])
+          - merge_maps(span.attributes, resource.attributes, "insert")
+          - replace_all_patterns(span.attributes, "value", "^https://dev\\.azure\\.com/", "")
+          - delete_matching_keys(span.attributes, "^cicd\\.pipeline\\.run\\.")
+          - truncate_all(span.attributes, 24)
+  filter/runs_only:
+    error_mode: ignore
+    traces:
+      span:
+        - 'not IsMatch(span.name, "^Run: ")'
+exporters:
+  debug: {}
+service:
+  pipelines:
+    traces:
+      receivers: [otlp]
+      processors: [transform/spans, filter/runs_only]
+      exporters: [debug]
+"""
+
+
+def _cm3_raw(events):
+    """_ado_raw with a VARYING run result (the status-remap statement needs
+    both branches live) — everything else identical so the span-id oracle
+    derivations from s26 carry over."""
+    from .plans.ado_traces import EVENT_JOB, EVENT_RUN, EVENT_STAGE
+
+    e = events.filter(F.col("event_id") < 3000)
+    pid = (F.col("event_id") % 13).cast("string")
+    pipe = F.struct(
+        (F.col("event_id") % 13).cast("long").alias("id"),
+        F.concat(F.lit("pipe-"), pid).alias("name"),
+    )
+    run = F.struct(
+        F.col("event_id").cast("long").alias("id"),
+        F.lit("completed").alias("state"),
+        F.when(F.col("event_id") % 4 == 1, "failed").otherwise("succeeded").alias("result"),
+        F.col("ts").alias("createdDate"),
+        F.expr("ts + INTERVAL 5 MINUTE").alias("finishedDate"),
+        F.concat(F.lit("https://dev.azure.com/org/proj/_apis/pipelines/"), pid).alias("url"),
+        pipe.alias("pipeline"),
+    )
+    stage = F.struct(
+        F.concat(F.lit("st-"), F.col("event_id").cast("string")).alias("id"),
+        F.concat(F.lit("Deploy"), (F.col("event_id") % 4).cast("string")).alias("name"),
+        F.lit("Deployment").alias("displayName"),
+        F.lit(1).cast("long").alias("attempt"),
+        F.lit("completed").alias("state"),
+        F.lit("succeeded").alias("result"),
+        F.col("ts").alias("startTime"),
+        F.expr("ts + INTERVAL 2 MINUTE").alias("finishTime"),
+    )
+    job = F.struct(
+        F.concat(F.lit("jb-"), F.col("event_id").cast("string")).alias("id"),
+        F.concat(F.lit("J"), (F.col("event_id") % 6).cast("string")).alias("name"),
+        (F.col("event_id") % 2 + 1).cast("long").alias("attempt"),
+        F.lit("completed").alias("state"),
+        F.lit("succeeded").alias("result"),
+        F.col("ts").alias("startTime"),
+        F.expr("ts + INTERVAL 1 MINUTE").alias("finishTime"),
+    )
+    etype = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(EVENT_RUN))
+        .when(F.col("event_id") % 3 == 1, F.lit(EVENT_STAGE))
+        .otherwise(F.lit(EVENT_JOB))
+    )
+    payload = F.to_json(
+        F.struct(
+            etype.alias("eventType"),
+            F.struct(
+                F.lit("proj-guid").alias("projectId"),
+                F.col("event_id").cast("long").alias("runId"),
+                run.alias("run"),
+                pipe.alias("pipeline"),
+                stage.alias("stage"),
+                job.alias("job"),
+            ).alias("resource"),
+        )
+    )
+    return e.select(payload.alias("body_raw"))
+
+
+def _cm3(spark, sf):
+    from .confmap import AssembleContext, assemble, load_config
+    from .plans.ado_traces import ado_trace_pipeline
+
+    spans = ado_trace_pipeline(_cm3_raw(load_tables(spark, sf)["events"]))
+    cfg = load_config(_CM3_YAML)
+    out = assemble(spark, cfg, AssembleContext(frames={"otlp": spans}))["traces"]
+    a = F.col("attrs")
+    return out.select(
+        "trace_id",
+        "span_id",
+        "name",
+        F.col("status_code").cast("int").alias("status_code"),
+        a["run.url"].alias("run_url"),
+        a["cicd.pipeline.name"].alias("pipeline_name"),
+        a["cicd.pipeline.id"].alias("pipeline_id"),
+        a["vcs.vendor.name"].alias("vcs_vendor"),
+    )
+
+
+_q(
+    "cm3_ottl_span_pipeline",
+    """
+SELECT substring(sha256(CAST(event_id AS VARCHAR) || 't'), 1, 32) AS trace_id,
+       substring(sha256('pipeline_' || CAST(event_id % 13 AS VARCHAR)), 17, 16) AS span_id,
+       'Run: pipe-' || CAST(event_id % 13 AS VARCHAR) AS name,
+       CAST(CASE WHEN event_id % 4 = 1 THEN 2 ELSE 1 END AS INTEGER) AS status_code,
+       'org/proj/pipelines/' || CAST(event_id % 13 AS VARCHAR) AS run_url,
+       'pipe-' || CAST(event_id % 13 AS VARCHAR) AS pipeline_name,
+       CAST(event_id AS VARCHAR) AS pipeline_id,
+       'azuredevops' AS vcs_vendor
+FROM events WHERE event_id < 3000 AND event_id % 3 = 0
+""",
+)(_cm3)
+
+# ---------------------------------------------------------------------------
+# r5: gk3 — grok with a USER pattern file (VERDICT r4 item 8): real pipelines
+# ship custom logstash `patterns/` packs; load_pattern_file + add_patterns
+# resolve %{REF} composites (cycle-checked, capture-safe) and the SAME merged
+# library drives both engines, exactly like gk1/gk2.
+# ---------------------------------------------------------------------------
+
+from .functions.grok import add_patterns, load_pattern_file
+
+_GK3_PATTERN_FILE = r"""
+# app-log pattern pack (logstash patterns/ format)
+REQID [a-f0-9]{8}
+DURMS \d{1,6}
+APPHDR \[%{TIMESTAMP_ISO8601}\] \[%{LOGLEVEL}\]
+APPREQ req=%{REQID} dur=%{DURMS}ms
+"""
+
+_GK3_LIB = add_patterns(load_pattern_file(_GK3_PATTERN_FILE))
+
+# APPHDR captures as ONE composite field; REQID/DURMS re-capture individually
+_GK3_EXPR = (
+    "%{APPHDR:hdr} svc=%{NOTSPACE:svc} %{APPREQ} req=%{REQID:req} "
+    "dur=%{DURMS:dur}ms bytes=%{INT:bytes} %{GREEDYDATA:msg}"
+)
+
+
+def _gk3_line():
+    return F.concat(
+        F.lit("["),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("] ["),
+        F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO"),
+        F.lit("] svc=svc-"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(" req="),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 8),
+        F.lit(" dur="),
+        (F.col("event_id") % 997).cast("string"),
+        F.lit("ms req="),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 8),
+        F.lit(" dur="),
+        (F.col("event_id") % 997).cast("string"),
+        F.lit("ms bytes="),
+        (F.col("user_id") % 4096).cast("string"),
+        F.lit(" op="),
+        F.col("event_type"),
+    )
+
+
+def _gk3(spark, sf):
+    e = load_tables(spark, sf)["events"]
+    parsed = grok_parse(
+        e.select(_gk3_line().alias("line")), "line", _GK3_EXPR, keep=False,
+        patterns=_GK3_LIB,
+    )
+    return parsed.groupBy("svc").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dur").cast("bigint")).alias("total_dur"),
+        F.max("req").alias("max_req"),
+        F.max("hdr").alias("max_hdr"),
+        F.sum(F.col("bytes").cast("bigint")).alias("total_bytes"),
+    )
+
+
+_GK3_X = grok_oracle_exprs(_GK3_EXPR, "line", patterns=_GK3_LIB)
+
+_q(
+    "gk3_grok_pattern_file",
+    f"""
+WITH lines AS (
+  SELECT '[' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '] [' ||
+         CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END ||
+         '] svc=svc-' || CAST(user_id % 7 AS VARCHAR) ||
+         ' req=' || substring(sha256(CAST(event_id AS VARCHAR)), 1, 8) ||
+         ' dur=' || CAST(event_id % 997 AS VARCHAR) ||
+         'ms req=' || substring(sha256(CAST(event_id AS VARCHAR)), 1, 8) ||
+         ' dur=' || CAST(event_id % 997 AS VARCHAR) ||
+         'ms bytes=' || CAST(user_id % 4096 AS VARCHAR) ||
+         ' op=' || event_type AS line
+  FROM events
+)
+, parsed AS (
+  SELECT {_GK3_X['svc']} AS svc, {_GK3_X['dur']} AS dur, {_GK3_X['req']} AS req,
+         {_GK3_X['hdr']} AS hdr, {_GK3_X['bytes']} AS bytes
+  FROM lines
+)
+SELECT svc, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(dur AS BIGINT)) AS BIGINT) AS total_dur,
+       max(req) AS max_req, max(hdr) AS max_hdr,
+       CAST(sum(CAST(bytes AS BIGINT)) AS BIGINT) AS total_bytes
+FROM parsed GROUP BY 1
+""",
+)(_gk3)
+
+# ---------------------------------------------------------------------------
 # Driver grading window (established r3; rotated again per VERDICT r3 item 2).
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration

@@ -51,24 +51,109 @@ GROK_PATTERNS: dict[str, str] = {
 _FIELD_RE = re.compile(r"%\{([A-Z0-9_]+)(?::([a-zA-Z_][a-zA-Z0-9_]*))?\}")
 
 
-def grok_compile(expression: str) -> tuple[str, list[str]]:
+# a raw '(' that opens a CAPTURING group (not '(?:', '(?=', … and not '\(')
+# inside a pattern DEFINITION would silently shift every regexp_extract group
+# index after it — reject at load time
+_CAPTURING_PAREN = re.compile(r"(?<!\\)\((?!\?)")
+
+
+def load_pattern_file(text: str) -> dict[str, str]:
+    """Parse a logstash ``patterns/`` file: one ``NAME PATTERN`` per line,
+    ``#`` comments and blank lines skipped.  Returns raw (unresolved)
+    definitions — pass through :func:`add_patterns` to resolve ``%{REF}``s."""
+    defs: dict[str, str] = {}
+    for lineno, line in enumerate(text.splitlines(), 1):
+        stripped = line.strip()
+        if not stripped or stripped.startswith("#"):
+            continue
+        parts = stripped.split(None, 1)
+        if len(parts) != 2 or not re.fullmatch(r"[A-Z0-9_]+", parts[0]):
+            raise ValueError(f"pattern file line {lineno}: expected 'NAME pattern', got {stripped!r}")
+        if parts[0] in defs:
+            raise ValueError(f"pattern file line {lineno}: duplicate pattern {parts[0]!r}")
+        defs[parts[0]] = parts[1]
+    return defs
+
+
+def add_patterns(
+    defs: dict[str, str], base: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Resolve user pattern definitions against ``base`` (default: the
+    built-in library) into a merged, fully-expanded library.
+
+    Definitions may reference other patterns with bare ``%{NAME}`` — custom
+    or built-in, in any order.  Two hard rules, both the group-index-safety
+    invariant behind grok_compile's one-capture-per-field contract:
+
+    - ``%{NAME:field}`` captures inside a DEFINITION are rejected (captures
+      belong in the top-level expression only);
+    - raw capturing ``(...)`` groups in a definition are rejected — write
+      ``(?:...)``.
+
+    Reference cycles (A -> B -> A, or A -> A) are detected and reported with
+    the full chain."""
+    base = dict(GROK_PATTERNS if base is None else base)
+    resolved: dict[str, str] = {}
+
+    def expand(name: str, stack: tuple[str, ...]) -> str:
+        if name in resolved:
+            return resolved[name]
+        if name in stack:
+            chain = " -> ".join((*stack[stack.index(name):], name))
+            raise ValueError(f"grok pattern cycle: {chain}")
+        if name in defs:
+            body = defs[name]
+        elif name in base:
+            # built-ins are already leaf regexes (no %{} refs)
+            resolved[name] = base[name]
+            return base[name]
+        else:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        if _CAPTURING_PAREN.search(body):
+            raise ValueError(
+                f"pattern {name!r}: raw capturing group in definition — use (?:...) "
+                "so top-level %{PATTERN:field} group indices stay stable"
+            )
+
+        def sub(m: re.Match) -> str:
+            if m.group(2) is not None:
+                raise ValueError(
+                    f"pattern {name!r}: %{{{m.group(1)}:{m.group(2)}}} capture inside a "
+                    "definition — captures belong in the top-level expression"
+                )
+            return f"(?:{expand(m.group(1), (*stack, name))})"
+
+        out = _FIELD_RE.sub(sub, body)
+        resolved[name] = out
+        return out
+
+    for name in defs:
+        expand(name, ())
+    return {**base, **resolved}
+
+
+def grok_compile(
+    expression: str, patterns: dict[str, str] | None = None
+) -> tuple[str, list[str]]:
     """``%{LOGLEVEL:level} %{WORD:service}: %{GREEDYDATA:msg}`` →
     (anchored regex with one capture group per field, field names in group
     order).  ``%{NAME}`` without a field compiles to a NON-capturing group.
     Unknown pattern names and duplicate field names are errors —
-    the same strictness grok filters apply at config load."""
+    the same strictness grok filters apply at config load.  ``patterns``
+    (e.g. from :func:`add_patterns`) overrides the built-in library."""
+    lib = GROK_PATTERNS if patterns is None else patterns
     fields: list[str] = []
 
     def sub(m: re.Match) -> str:
         pname, fname = m.group(1), m.group(2)
-        if pname not in GROK_PATTERNS:
+        if pname not in lib:
             raise ValueError(f"unknown grok pattern %{{{pname}}}")
         if fname is None:
-            return f"(?:{GROK_PATTERNS[pname]})"
+            return f"(?:{lib[pname]})"
         if fname in fields:
             raise ValueError(f"duplicate grok field {fname!r}")
         fields.append(fname)
-        return f"({GROK_PATTERNS[pname]})"
+        return f"({lib[pname]})"
 
     # escape the literal text BETWEEN field refs, then re-inject the groups
     out: list[str] = []
@@ -84,13 +169,17 @@ def grok_compile(expression: str) -> tuple[str, list[str]]:
 
 
 def grok_parse(
-    df: DataFrame, col: str | Column, expression: str, keep: bool = True
+    df: DataFrame,
+    col: str | Column,
+    expression: str,
+    keep: bool = True,
+    patterns: dict[str, str] | None = None,
 ) -> DataFrame:
     """Extract every grok field as a string column (empty string = no
     match, the regexp_extract convention both Spark and DuckDB share).
     ``keep=False`` drops the raw line after extraction (column pruning then
     removes it from the scan entirely)."""
-    regex, fields = grok_compile(expression)
+    regex, fields = grok_compile(expression, patterns)
     c = F.col(col) if isinstance(col, str) else col
     out = df.select(
         "*", *[F.regexp_extract(c, regex, i + 1).alias(f) for i, f in enumerate(fields)]
@@ -100,10 +189,12 @@ def grok_parse(
     return out
 
 
-def grok_oracle_exprs(expression: str, col: str) -> dict[str, str]:
+def grok_oracle_exprs(
+    expression: str, col: str, patterns: dict[str, str] | None = None
+) -> dict[str, str]:
     """The DuckDB twin: field -> ``regexp_extract(col, regex, group)`` SQL
     snippets built from the SAME compiled regex."""
-    regex, fields = grok_compile(expression)
+    regex, fields = grok_compile(expression, patterns)
     lit = regex.replace("'", "''")
     return {
         f: f"regexp_extract({col}, '{lit}', {i + 1})" for i, f in enumerate(fields)

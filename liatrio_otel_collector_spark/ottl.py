@@ -11,12 +11,25 @@ Supported surface (the subset the reference palette actually uses):
 
   statements   set(path, expr) / keep_keys(path, [k...]) /
                delete_key(path, "k") / limit(path, N, [prio...]) /
-               replace_pattern(path, "re", "repl"), each with an optional
+               replace_pattern(path, "re", "repl") /
+               merge_maps(path, path, "strategy") / truncate_all(path, N) /
+               replace_all_patterns(path, "key"|"value", "re", "repl") /
+               delete_matching_keys(path, "re"), each with an optional
                ``where <bool-expr>`` suffix
   functions    ParseJSON(e), Concat([e...], sep), IsMatch(e, pattern)
+  contexts     log (log_statements / filter logs.log_record),
+               span (trace_statements / filter traces.span),
+               datapoint (metric_statements / filter metrics.datapoint) —
+               the transformprocessor ships for all three signals
+               (/root/reference/config/manifest.yaml:40)
   paths        log.body[...]..., log.attributes["k"],
                resource.attributes["k"], log.severity_text, bare
-               body[...] / attributes[...] (filterprocessor context)
+               body[...] / attributes[...] (filterprocessor context);
+               span.name / span.kind / span.status.code / span.status.message
+               / span.trace_id / span.span_id / span.parent_span_id /
+               span.attributes["k"]; datapoint.attributes["k"] /
+               datapoint.value_int / datapoint.value_double /
+               datapoint.time_unix_nano / metric.name / metric.unit
   operators    and, or, not, ==, != and the nil literal
 
 Spark-first semantics, matching the hand-written analogs in plans/logs.py:
@@ -89,9 +102,10 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, context: str = "log"):
         self.toks = _tokenize(text)
         self.i = 0
+        self.context = context
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i]
@@ -211,7 +225,7 @@ class _Parser:
                     self.expect("]")
                 else:
                     break
-            return ("path", _normalize_path(segs))
+            return ("path", _normalize_path(segs, self.context))
         raise OttlError(f"unexpected token {v!r}")
 
 
@@ -219,15 +233,49 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s[1:-1])
 
 
-def _normalize_path(segs: list[str]) -> tuple[str, ...]:
-    """Map OTTL paths onto the log frame's columns: ``log.body…`` ->
-    ('body', …), ``log.attributes["k"]`` -> ('attrs', k),
-    ``resource.attributes["k"]`` -> ('resource', k); a filterprocessor
-    condition omits the ``log.`` prefix (``body["k"]``, ``attributes["k"]``)."""
-    if segs[0] == "log":
+# plain (non-map) columns addressable per context; the span/datapoint frames
+# are the repo's flat span/metric tables (plans/ado_traces.py,
+# plans/actions_traces.py, plans/vcs_metrics.py) — OTTL's nested pdata paths
+# map onto their columns
+_PLAIN_COLS = {
+    "log": ("severity_text", "severity_number", "time_unix_nano"),
+    "span": (
+        "name",
+        "kind",
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "start_time_unix_nano",
+        "end_time_unix_nano",
+    ),
+    "datapoint": (
+        "value_int",
+        "value_double",
+        "time_unix_nano",
+        "start_time_unix_nano",
+        "flags",
+    ),
+}
+
+
+def _normalize_path(segs: list[str], context: str = "log") -> tuple[str, ...]:
+    """Map OTTL paths onto the frame's columns per context.
+
+    log:       ``log.body…`` -> ('body', …), ``log.attributes["k"]`` ->
+               ('attrs', k); a filterprocessor condition omits the ``log.``
+               prefix (``body["k"]``, ``attributes["k"]``).
+    span:      ``span.name`` -> ('name',), ``span.status.code`` ->
+               ('status_code',), ``span.attributes["k"]`` -> ('attrs', k).
+    datapoint: ``datapoint.value_int`` -> ('value_int',), ``metric.name`` ->
+               ('metric_name',), ``datapoint.attributes["k"]`` -> ('attrs', k).
+    All:       ``resource.attributes["k"]`` -> ('resource', k).
+    The context prefix is optional in every case (both the legacy
+    context-relative and the modern fully-qualified transformprocessor
+    spellings parse)."""
+    if segs[0] == context:
         segs = segs[1:]
         if not segs:
-            raise OttlError("bare 'log' is not a value")
+            raise OttlError(f"bare {context!r} is not a value")
     if not segs:
         raise OttlError("empty path")
     head, rest = segs[0], segs[1:]
@@ -237,17 +285,27 @@ def _normalize_path(segs: list[str]) -> tuple[str, ...]:
         return ("resource", *rest[1:])
     if head == "attributes":
         return ("attrs", *rest)
-    if head in ("body", "severity_text", "severity_number", "time_unix_nano"):
+    if context == "span" and head == "status":
+        if rest in (["code"], ["message"]):
+            return (f"status_{rest[0]}",)
+        raise OttlError(f"unsupported span.status path {segs!r}")
+    if context == "datapoint" and head == "metric":
+        if len(rest) == 1 and rest[0] in ("name", "unit", "description"):
+            return (f"metric_{rest[0]}",)
+        raise OttlError(f"unsupported metric path {segs!r}")
+    if context == "log" and head == "body":
         return (head, *rest)
-    raise OttlError(f"unsupported OTTL path {'.'.join(segs)!r}")
+    if head in _PLAIN_COLS[context] and not rest:
+        return (head,)
+    raise OttlError(f"unsupported OTTL path {'.'.join(segs)!r} in context {context!r}")
 
 
-def parse_statement(text: str) -> dict[str, Any]:
-    return _Parser(text).statement()
+def parse_statement(text: str, context: str = "log") -> dict[str, Any]:
+    return _Parser(text, context).statement()
 
 
-def parse_condition(text: str) -> Any:
-    p = _Parser(text)
+def parse_condition(text: str, context: str = "log") -> Any:
+    p = _Parser(text, context)
     e = p.expr()
     if p.peek()[0] != "eof":
         raise OttlError(f"trailing tokens in condition: {p.peek()[1]!r}")
@@ -257,19 +315,39 @@ def parse_condition(text: str) -> Any:
 # --- chain extraction from processor configs ---------------------------------
 
 
-def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
+# per-signal wiring: transform statement key, filter config path, and the
+# compile context (the transformprocessor ships for all three signals —
+# /root/reference/config/manifest.yaml:40; the filterprocessor's per-signal
+# condition lists are logs.log_record / traces.span / metrics.datapoint)
+_SIGNALS = {
+    "logs": ("log_statements", ("logs", "log_record"), "log"),
+    "traces": ("trace_statements", ("traces", "span"), "span"),
+    "metrics": ("metric_statements", ("metrics", "datapoint"), "datapoint"),
+}
+
+
+def extract_program(
+    chain: list[tuple[str, str, dict]], signal: str = "logs"
+) -> list[dict[str, Any]]:
     """Flatten a run of transform/filter processor configs into an ordered
-    statement list.  Transform configs carry ``log_statements`` as either
-    flat strings or ``{context, statements}`` groups (both reference forms;
-    group-level ``conditions`` AND into every member statement's where —
-    the transformprocessor's group gating).  Filter configs carry
-    ``logs: {log_record: [cond...]}`` where each condition DROPS matching
-    records."""
+    statement list for one SIGNAL.  Transform configs carry
+    ``log_statements`` / ``trace_statements`` / ``metric_statements`` as
+    either flat strings or ``{context, statements}`` groups (both reference
+    forms; group-level ``conditions`` OR into every member statement's where
+    — the transformprocessor's group gating).  Filter configs carry
+    ``logs: {log_record: [cond...]}`` / ``traces: {span: [...]}`` /
+    ``metrics: {datapoint: [...]}`` where each condition DROPS matching
+    records.  A processor whose config names only OTHER signals contributes
+    nothing here — exactly the collector's behavior when e.g. a
+    log-statements-only transform sits in a traces pipeline."""
+    if signal not in _SIGNALS:
+        raise OttlError(f"unsupported signal {signal!r}")
+    stmt_key, (fsig, fkey), default_ctx = _SIGNALS[signal]
     program: list[dict[str, Any]] = []
     _GROUP_KEYS = {"context", "statements", "conditions", "error_mode"}
     for pid, ptype, pcfg in chain:
         if ptype == "transform":
-            for entry in pcfg.get("log_statements") or []:
+            for entry in pcfg.get(stmt_key) or []:
                 gate: Any = None
                 if isinstance(entry, dict):
                     unknown = set(entry) - _GROUP_KEYS
@@ -278,12 +356,13 @@ def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
                             f"processor {pid!r}: unknown statement-group key(s) "
                             f"{sorted(unknown)} — refusing to silently ignore them"
                         )
-                    context = entry.get("context", "log")
-                    if context != "log":
+                    context = entry.get("context", default_ctx)
+                    if context != default_ctx:
                         raise OttlError(
                             f"processor {pid!r}: unsupported statement context "
-                            f"{context!r} (only 'log' compiles; refusing to "
-                            "misroute resource/span statements into log columns)"
+                            f"{context!r} for {signal} (only {default_ctx!r} "
+                            "compiles; refusing to misroute statements into "
+                            "the wrong columns)"
                         )
                     if "statements" not in entry:
                         raise OttlError(
@@ -294,7 +373,7 @@ def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
                     # ANY of its conditions is true — OR them into one gate
                     for c in entry.get("conditions") or []:
                         try:
-                            parsed_c = parse_condition(str(c))
+                            parsed_c = parse_condition(str(c), default_ctx)
                         except OttlError as e:
                             raise OttlError(f"processor {pid!r}: {e}") from None
                         gate = parsed_c if gate is None else ("or", gate, parsed_c)
@@ -302,7 +381,7 @@ def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
                     stmts = [entry]
                 for s in stmts:
                     try:
-                        stmt = parse_statement(str(s))
+                        stmt = parse_statement(str(s), default_ctx)
                     except OttlError as e:
                         raise OttlError(f"processor {pid!r}: {e}") from None
                     if gate is not None:
@@ -313,10 +392,14 @@ def extract_program(chain: list[tuple[str, str, dict]]) -> list[dict[str, Any]]:
                         )
                     program.append(stmt)
         elif ptype == "filter":
-            for cond in (pcfg.get("logs") or {}).get("log_record") or []:
+            for cond in (pcfg.get(fsig) or {}).get(fkey) or []:
                 try:
                     program.append(
-                        {"fn": "__drop_where__", "args": [parse_condition(str(cond))], "where": None}
+                        {
+                            "fn": "__drop_where__",
+                            "args": [parse_condition(str(cond), default_ctx)],
+                            "where": None,
+                        }
                     )
                 except OttlError as e:
                     raise OttlError(f"processor {pid!r}: {e}") from None
@@ -369,11 +452,24 @@ def _empty_map() -> Column:
 
 
 class _State:
-    def __init__(self, df: DataFrame, body_col: str):
+    def __init__(self, df: DataFrame, body_col: str, context: str = "log"):
         self.df = df
+        self.context = context
         self.body_col = body_col  # raw JSON string column pre-ParseJSON
         self.body_parsed = "body" in df.columns and body_col != "body"
-        for col, default in (("attrs", _empty_map()), ("resource", _empty_map())):
+        defaults: list[tuple[str, Column]] = [
+            ("attrs", _empty_map()),
+            ("resource", _empty_map()),
+        ]
+        if context == "span":
+            # span frames (plans/ado_traces.py et al.) carry status columns
+            # only when the upstream webhook sets them; OTTL programs that
+            # remap span.status.* start from the pdata zero value (unset)
+            defaults += [
+                ("status_code", F.lit(None).cast("int")),
+                ("status_message", F.lit(None).cast("string")),
+            ]
+        for col, default in defaults:
             if col not in df.columns:
                 self.df = self.df.withColumn(col, default)
 
@@ -599,7 +695,108 @@ def _apply_statement(st: _State, stmt: dict[str, Any], schema: str, tree: dict) 
             return
         raise OttlError(f"unsupported delete_key target {p!r}")
 
+    if fn == "delete_matching_keys":
+        # delete_matching_keys(map, "re"): drop entries whose KEY matches.
+        p = _map_target(args[0], fn)
+        pattern = _as_literal_str(args[1])
+        pruned = F.map_filter(F.col(p), lambda k, _: ~k.rlike(pattern))
+        newc = F.when(guard, pruned).otherwise(F.col(p)) if guard is not None else pruned
+        st.df = st.df.withColumn(p, newc)
+        return
+
+    if fn == "truncate_all":
+        # truncate_all(map, N): cap every value at N chars.  The repo's
+        # attribute maps are map<string,string>, so OTTL's strings-only rule
+        # applies to every entry.
+        p = _map_target(args[0], fn)
+        if args[1][0] != "num" or not isinstance(args[1][1], int) or args[1][1] < 0:
+            raise OttlError("truncate_all() needs a non-negative integer limit")
+        n = args[1][1]
+        capped = F.transform_values(F.col(p), lambda _, v: F.substring(v, 1, n))
+        newc = F.when(guard, capped).otherwise(F.col(p)) if guard is not None else capped
+        st.df = st.df.withColumn(p, newc)
+        return
+
+    if fn == "merge_maps":
+        # merge_maps(target, source, strategy): upstream ottlfuncs semantics —
+        # "insert" adds only keys absent from target, "update" rewrites only
+        # keys already present, "upsert" does both.  Compiled with map_filter
+        # so map_concat never sees a duplicate key (Spark's default
+        # mapKeyDedupPolicy=EXCEPTION stays safe).
+        p = _map_target(args[0], fn)
+        src_ast = args[1]
+        if src_ast[0] != "path":
+            raise OttlError("merge_maps() source must be a map path")
+        sp = src_ast[1]
+        if sp[0] not in ("attrs", "resource") or len(sp) != 1:
+            raise OttlError(f"merge_maps() source must be a whole map, got {sp!r}")
+        strategy = _as_literal_str(args[2])
+        t, s = F.col(p), F.col(sp[0])
+        if strategy == "upsert":
+            merged = F.map_concat(
+                F.map_filter(t, lambda k, _: ~F.map_contains_key(s, k)), s
+            )
+        elif strategy == "insert":
+            merged = F.map_concat(
+                t, F.map_filter(s, lambda k, _: ~F.map_contains_key(t, k))
+            )
+        elif strategy == "update":
+            merged = F.transform_values(
+                t, lambda k, v: F.coalesce(F.try_element_at(s, k), v)
+            )
+        else:
+            raise OttlError(f"merge_maps() strategy must be insert/update/upsert, got {strategy!r}")
+        newc = F.when(guard, merged).otherwise(t) if guard is not None else merged
+        st.df = st.df.withColumn(p, newc)
+        return
+
+    if fn == "replace_all_patterns":
+        # replace_all_patterns(map, "key"|"value", "re", "repl"): regex
+        # rewrite across every entry.  Key mode can collide renamed keys;
+        # first-in-entry-order wins (deterministic on any engine), matching
+        # pdata Map.Range order for our map_from_entries-built maps.
+        p = _map_target(args[0], fn)
+        mode = _as_literal_str(args[1])
+        pattern = _as_literal_str(args[2])
+        repl = _as_literal_str(args[3]).replace("$$", "$")
+        t = F.col(p)
+        if mode == "value":
+            rewritten = F.transform_values(
+                t, lambda _, v: F.regexp_replace(v, pattern, repl)
+            )
+        elif mode == "key":
+            renamed = F.transform(
+                F.map_entries(t),
+                lambda e: F.struct(
+                    F.regexp_replace(e["key"], pattern, repl).alias("key"),
+                    e["value"].alias("value"),
+                ),
+            )
+            rewritten = F.aggregate(
+                renamed,
+                _empty_map(),
+                lambda acc, e: F.when(F.map_contains_key(acc, e["key"]), acc).otherwise(
+                    F.map_concat(acc, F.create_map(e["key"], e["value"]))
+                ),
+            )
+        else:
+            raise OttlError(f"replace_all_patterns() mode must be key/value, got {mode!r}")
+        newc = F.when(guard, rewritten).otherwise(t) if guard is not None else rewritten
+        st.df = st.df.withColumn(p, newc)
+        return
+
     raise OttlError(f"unsupported OTTL statement {fn!r}")
+
+
+def _map_target(target: Any, fn: str) -> str:
+    """Validate a whole-map statement target (log/span/datapoint attributes
+    or resource.attributes) and return its column name."""
+    if target[0] != "path":
+        raise OttlError(f"{fn}() target must be a path")
+    p = target[1]
+    if p[0] not in ("attrs", "resource") or len(p) != 1:
+        raise OttlError(f"{fn}() target must be a whole attributes map, got {p!r}")
+    return p[0]
 
 
 def _schema_tree(program: list[dict[str, Any]]) -> dict:
@@ -622,16 +819,24 @@ def _schema_tree(program: list[dict[str, Any]]) -> dict:
 
 
 def compile_chain(
-    df: DataFrame, chain: list[tuple[str, str, dict]], body_col: str = "body_raw"
+    df: DataFrame,
+    chain: list[tuple[str, str, dict]],
+    body_col: str = "body_raw",
+    signal: str = "logs",
 ) -> DataFrame:
     """Compile a consecutive run of transform/filter processors into one
-    Catalyst plan over the log frame.  ``chain`` entries are
+    Catalyst plan over the signal's frame (logs -> log context over the log
+    frame, traces -> span context over the span table, metrics -> datapoint
+    context over the datapoint table).  ``chain`` entries are
     (processor_id, processor_type, config).  Runs as a unit so the body
     schema inferred from LATER keep_keys informs an EARLIER ParseJSON."""
-    program = extract_program(chain)
-    schema = infer_body_schema(program) if any(_uses_parsejson(s) for s in program) else ""
+    program = extract_program(chain, signal)
+    uses_pj = any(_uses_parsejson(s) for s in program)
+    if uses_pj and signal != "logs":
+        raise OttlError("ParseJSON compiles only in the log context")
+    schema = infer_body_schema(program) if uses_pj else ""
     tree = _schema_tree(program)
-    st = _State(df, body_col)
+    st = _State(df, body_col, _SIGNALS[signal][2])
     for stmt in program:
         _apply_statement(st, stmt, schema, tree)
     return st.df

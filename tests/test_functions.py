@@ -178,3 +178,59 @@ def test_grok_compile_and_parse(spark):
     assert out["not a log line"]["level"] == ""
     # keep=False drops the raw column
     assert "line" not in grok_parse(df, "line", "%{LOGLEVEL:level} %{GREEDYDATA:m}", keep=False).columns
+
+
+def test_grok_pattern_file_loading():
+    """load_pattern_file + add_patterns: logstash patterns/ format with
+    nested %{REF} composites, cycle detection, and capture-safety rules."""
+    import pytest as _pytest
+
+    from liatrio_otel_collector_spark.functions.grok import (
+        add_patterns,
+        grok_compile,
+        load_pattern_file,
+    )
+
+    defs = load_pattern_file(
+        """
+# comment line
+
+REQID [a-f0-9]{8}
+PAIR req=%{REQID} of=%{REQID}
+HDR \\[%{TIMESTAMP_ISO8601}\\]
+"""
+    )
+    assert set(defs) == {"REQID", "PAIR", "HDR"}
+    lib = add_patterns(defs)
+    # composites fully expanded, refs non-capturing
+    assert lib["PAIR"] == "req=(?:[a-f0-9]{8}) of=(?:[a-f0-9]{8})"
+    assert "TIMESTAMP_ISO8601" not in lib["HDR"] or "%{" not in lib["HDR"]
+    # built-ins still present
+    assert "LOGLEVEL" in lib
+    regex, fields = grok_compile("%{PAIR:p} %{LOGLEVEL:lvl}", patterns=lib)
+    assert fields == ["p", "lvl"]
+
+    # malformed lines / duplicate names refuse
+    with _pytest.raises(ValueError, match="expected 'NAME pattern'"):
+        load_pattern_file("lowercase bad")
+    with _pytest.raises(ValueError, match="duplicate pattern"):
+        load_pattern_file("A x\nA y")
+
+    # cycles: direct and mutual, reported with the chain
+    with _pytest.raises(ValueError, match="cycle: A -> A"):
+        add_patterns({"A": "%{A}"})
+    with _pytest.raises(ValueError, match="cycle"):
+        add_patterns({"A": "%{B}", "B": "%{A}"})
+
+    # group-index safety: captures and raw groups inside definitions refuse
+    with _pytest.raises(ValueError, match="capture inside a definition"):
+        add_patterns({"A": "%{WORD:w}"})
+    with _pytest.raises(ValueError, match="raw capturing group"):
+        add_patterns({"A": "(ab)+"})
+    # but non-capturing groups and escaped parens are fine
+    lib2 = add_patterns({"A": r"(?:ab)+\("})
+    assert lib2["A"] == r"(?:ab)+\("
+
+    # unknown reference refuses
+    with _pytest.raises(ValueError, match="unknown grok pattern"):
+        add_patterns({"A": "%{NOPE}"})

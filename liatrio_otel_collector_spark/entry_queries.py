@@ -952,6 +952,80 @@ SELECT query_id, cand_id, cosine, rank FROM (
 """,
 )(lambda spark, sf: SIM.ivf_topk(load_tables(spark, sf)["embeddings"]))
 
+# ---------------------------------------------------------------------------
+# r5: sim4 — IVF with LEARNED centroids (VERDICT r4 item 7): deterministic
+# k-means (stride-sample init, exact-int assignment, floor(sum/count)
+# updates, FIXED iteration count) so the oracle can UNROLL the same Lloyd
+# iterations in SQL and hash-match the final assignment + top-k.  Recall
+# improvement vs sampled centroids is pinned in tests/test_similarity_recall.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_assign_sql(cents: str) -> str:
+    return f"""
+  SELECT vec_id, q, cell FROM (
+    SELECT b0.vec_id, b0.q, c.cell,
+           row_number() OVER (
+             PARTITION BY b0.vec_id
+             ORDER BY {_SQDIST_SQL.format(a="q", b="qc")}, c.cell
+           ) AS rk
+    FROM b0 CROSS JOIN {cents} c
+  ) WHERE rk = 1
+"""
+
+
+def _ivf_mean_sql(src: str) -> str:
+    # element-wise floor(sum/count) per cell; empty cells drop out — the
+    # exact update rule of similarity.ivf_kmeans_centroids
+    return f"""
+  SELECT cell, list(d ORDER BY pos) AS qc FROM (
+    SELECT cell, pos, CAST(floor(sum(v) / count(*)) AS BIGINT) AS d FROM (
+      SELECT cell, unnest(q) AS v, generate_subscripts(q, 1) AS pos FROM {src}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+"""
+
+
+_q(
+    "sim4_ivf_kmeans_topk",
+    f"""
+WITH b0 AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+), cents0 AS (
+  SELECT CAST(vec_id / {SIM.IVF_CENTROID_STRIDE} AS INT) AS cell, q AS qc
+  FROM b0 WHERE vec_id IN ({_IVF_IDS})
+), asg0 AS ({_ivf_assign_sql("cents0")}
+), cents1 AS ({_ivf_mean_sql("asg0")}
+), asg1 AS ({_ivf_assign_sql("cents1")}
+), cents2 AS ({_ivf_mean_sql("asg1")}
+), assigned AS ({_ivf_assign_sql("cents2")}
+), probes AS (
+  SELECT query_id, qa, cell FROM (
+    SELECT a.vec_id AS query_id, a.q AS qa, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_SQDIST_SQL.format(a="a.q", b="qc")}, c.cell
+           ) AS rk
+    FROM assigned a CROSS JOIN cents2 c WHERE a.vec_id IN (0, 1, 2)
+  ) WHERE rk <= {SIM.IVF_NPROBE}
+), scored AS (
+  SELECT query_id, cand_id, {_COSINE_SQL} AS cosine
+  FROM (SELECT vec_id AS cand_id, q AS qb, cell FROM assigned) cv
+  JOIN probes USING (cell)
+  WHERE cand_id <> query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)(
+    lambda spark, sf: SIM.ivf_topk(
+        load_tables(spark, sf)["embeddings"],
+        centroids=SIM.ivf_kmeans_centroids(load_tables(spark, sf)["embeddings"]),
+    )
+)
+
 _q(
     "ts1_token_count",
     """
@@ -2796,63 +2870,65 @@ FROM parsed GROUP BY 1
 )(_gk3)
 
 # ---------------------------------------------------------------------------
-# Driver grading window (established r3; rotated again per VERDICT r3 item 2).
+# Driver grading window (established r3; rotated per VERDICT r4 item 1).
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
-# order.  Round-4 rotation: the 29 queries whose driver rows date from r1/r2
-# come back in-window (their plans sit atop two rounds of shared-view
-# refactors), the 3 r4 additions (mm1/gk2/cm2) and the 8 r3-new ops get
-# fresh/second grades, and 10 flagship rows stay for continuous re-grading.
-# The rotated-out rows were ALL driver-green in r3 (CORRECTNESS_r03 50/50)
-# and keep their keys, oracles, and local parity coverage (the full-set gate
-# in tests/test_oracle_parity.py) — only dict ORDER moves.
+# order.  Round-5 rotation: the 32 queries whose newest driver row is r3 come
+# back in-window, the 3 r5 additions (cm3/gk3/sim4) get first grades, and 15
+# repeats carry over from the r4 window (the 10 flagship rows, the 3 r4-new
+# rows for a second consecutive grade, plus dd7/pl7 — the heaviest plan and
+# the r4 bench watch item).  The r4 ∪ r5 windows cover ALL 85 queries, so
+# after this round every query's newest driver row is ≤1 round old — the
+# verdict's freshness invariant.  Rotated-out rows keep their keys, oracles,
+# and the full-set local parity gate (tests/test_oracle_parity.py) — only
+# dict ORDER moves.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # r1/r2-only rows re-graded this round (VERDICT r3 item 2: their last
-    # DRIVER rows predate two rounds of refactors)
-    "a1_repository_count",
-    "a2_ref_count",
-    "a3_change_count",
-    "a4_change_time_to_merge",
-    "a5_change_duration",
-    "a8_ref_lines_delta",
-    "a9_ref_time",
-    "a10_contributor_count",
-    "a13_deployment_average_duration",
-    "a14_deployment_last_timestamp",
-    "a15_work_item_count",
-    "a16_work_item_tag_count",
-    "a17_work_item_cycle_time",
-    "w2_first_purchase_per_user",
-    "w4_oldest_commit_per_branch",
-    "w5_latest_event_per_user",
-    "j5_case_insensitive_dim_join",
-    "j7_service_name_precedence",
-    "u2_combined_pull_requests",
-    "u3_receiver_fan_in",
-    "f1_stale_branch_filter",
-    "f8_regex_event_filter",
-    "x4_deterministic_ids",
-    "x9_api_url_rewrite",
-    "x16_multi_format_timestamps",
-    "x22_workflow_path_names",
-    "ts1_token_count",
-    "ts3_language_id",
-    "ts4_fingerprint",
-    # new in r4
+    # newest driver row r3 — re-graded this round (VERDICT r4 item 1)
+    "a6_change_time_to_approval",
+    "a7_ref_revisions_delta",
+    "a11_cve_count",
+    "a24_code_coverage",
+    "a18_catalog_component_counts",
+    "a21_terraform_module_consumers",
+    "w1_unique_step_names",
+    "dd3_ngram_jaccard_pairs",
+    "dd4_simhash",
+    "sim2_lsh_topk",
+    "sim3_ivf_topk",
+    "ts2_quality_score",
+    "s1_repo_search_scan",
+    "s16_oldest_divergent_commit",
+    "w3_latest_deployment_per_service",
+    "u1_union_cve_sources",
+    "f10_repo_substring_filter",
+    "dd5_embedding_near_dups",
+    "x19_labels_lowercase",
+    "x20_indexed_workflow_attrs",
+    "a20_catalog_resource_stats",
+    "a23_terraform_consumer_rows",
+    "cn1_span_count",
+    "cn2_spanmetrics",
+    "pl5_curation_pipeline",
+    "s27_actions_job_spans",
+    "s26_ado_spans",
+    "a25_ado_snapshot_emit",
+    "ts5_pii_scrub",
+    "pl6_sequence_stats",
+    "pr1_probabilistic_sampler",
+    "pr2_tail_sampler",
+    # new in r5
+    "cm3_ottl_span_pipeline",
+    "gk3_grok_pattern_file",
+    "sim4_ivf_kmeans_topk",
+    # r4-new rows kept for a second consecutive driver grade
     "mm1_multimodal_features",
     "gk2_grok_apache_log",
     "cm2_ottl_compiled_pipeline",
-    # r3-new ops kept in-window for a second consecutive driver grade
-    "gb1_groupbyattrs",
-    "gt1_groupbytrace",
-    "iv1_interval_last",
-    "cm1_config_pipeline",
+    # heaviest plan + r4 bench watch item
     "dd7_dup_clusters",
     "pl7_token_bigrams",
-    "ts6_repetition_stats",
-    "gk1_grok_parse",
     # flagship rows kept in-window for continuous re-grading
     "pl1_parse_route_aggregate",
     "pl2_enrich_rollup",

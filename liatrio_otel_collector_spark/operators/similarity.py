@@ -191,13 +191,50 @@ def ivf_centroids(embeddings: DataFrame, k: int = IVF_K, stride: int = IVF_CENTR
     )
 
 
-def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, q, cell): nearest-centroid assignment, exact squared
-    distance on quantized ints, ties to the smaller cell id.  N×K work via a
-    broadcast of the (tiny) centroid table — the IVF build pass."""
+IVF_KMEANS_ITERS = 2
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    stride: int = IVF_CENTROID_STRIDE,
+    iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """(cell, qc): K centroids refined by a FIXED number of Lloyd iterations
+    — deterministic k-means, every step exact-integer so a SQL oracle can
+    unroll the same iterations and hash-match the assignment:
+
+    - init: the existing stride sample (ivf_centroids) — seeded, reproducible;
+    - assign: exact integer squared distance, ties to the smaller cell id;
+    - update: element-wise floor(sum/count) per cell (floor of an exact
+      integer ratio — both engines agree bit-for-bit);
+    - a cell that loses all members drops out (k shrinks), same rule in the
+      oracle.
+
+    Scale shape: each iteration is one N×K broadcast assignment plus one
+    64N-row map-side-combined groupBy — the standard distributed Lloyd step;
+    no driver-side loops over data, only over the FIXED iteration count."""
+    cents = ivf_centroids(embeddings, k, stride)
+    v = _quantized(embeddings).select("vec_id", "q")
+    for _ in range(iters):
+        assigned = _nearest_cell(v, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("bigint").alias("d"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "d"))), lambda s: s["d"]
+                ).alias("qc")
+            )
+        )
+    return cents
+
+
+def _nearest_cell(v: DataFrame, centroids: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
-    v = _quantized(embeddings).select("vec_id", "q")
     d = v.crossJoin(F.broadcast(centroids)).withColumn(
         "dist", F.expr(_SQDIST.format(a="q", b="qc"))
     )
@@ -209,18 +246,28 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, q, cell): nearest-centroid assignment, exact squared
+    distance on quantized ints, ties to the smaller cell id.  N×K work via a
+    broadcast of the (tiny) centroid table — the IVF build pass."""
+    return _nearest_cell(_quantized(embeddings).select("vec_id", "q"), centroids)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = (0, 1, 2),
     k: int = 5,
     n_centroids: int = IVF_K,
     nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN: assign every vector to its nearest sampled centroid,
-    probe the query's nprobe nearest cells, score cosine only inside them."""
+    """IVF-flat ANN: assign every vector to its nearest centroid, probe the
+    query's nprobe nearest cells, score cosine only inside them.  The coarse
+    quantizer defaults to the sampled centroids; pass
+    ``centroids=ivf_kmeans_centroids(...)`` for the learned variant."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(embeddings, n_centroids)
+    cents = ivf_centroids(embeddings, n_centroids) if centroids is None else centroids
     assigned = ivf_assign(embeddings, cents)
 
     qv = assigned.filter(F.col("vec_id").isin(*query_ids)).select(

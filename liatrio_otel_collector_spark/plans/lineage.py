@@ -11,7 +11,7 @@ collector's self-observability obsreport counters
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,6 +34,67 @@ def lineage_manifest(df: DataFrame, sink: str, batch_id: int = 0) -> DataFrame:
         )
         .select(
             F.lit(sink).alias("sink"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("_pid").alias("partition_id"),
+            "row_count",
+            "min_doc_id",
+            "max_doc_id",
+            "token_checksum",
+        )
+    )
+
+
+def combined_row_manifests(
+    enriched: DataFrame, preds: dict[str, Column], batch_id: int = 0
+) -> DataFrame:
+    """Manifests for EVERY row sink plus the ``_input`` frame in ONE scan.
+
+    lineage_manifest per sink re-reads the wide token column once per sink —
+    at B sinks that is B extra passes over the heaviest data in the batch.
+    Here each sink's membership predicate becomes a conditional aggregate
+    over a single scan: bit_xor skips NULLs, so ``bit_xor(CASE WHEN pred
+    THEN h END)`` equals the per-sink recompute exactly, and spark_partition_id
+    is taken on the same un-repartitioned scan a per-sink filter would see —
+    the output rows are value-identical to lineage_manifest's, just computed
+    together.  Returns the UNION shape (sink, batch_id, partition_id,
+    row_count, min_doc_id, max_doc_id, token_checksum); persist before
+    slicing per sink so the heavy pass runs once."""
+    h = F.xxhash64("doc_id", "tokens")
+    names = ["_input", *preds]
+    base = enriched.select(
+        F.col("doc_id"),
+        h.alias("_h"),
+        F.spark_partition_id().alias("_pid"),
+        *[preds[n].alias(f"_f_{n}") for n in preds],
+    )
+    aggs = []
+    for n in names:
+        cond = F.lit(True) if n == "_input" else F.col(f"_f_{n}")
+        aggs += [
+            F.count(F.when(cond, 1)).alias(f"rc_{n}"),
+            F.min(F.when(cond, F.col("doc_id"))).alias(f"mn_{n}"),
+            F.max(F.when(cond, F.col("doc_id"))).alias(f"mx_{n}"),
+            F.expr(
+                "CAST(bit_xor(CASE WHEN "
+                + ("true" if n == "_input" else f"_f_{n}")
+                + " THEN _h END) AS BIGINT)"
+            ).alias(f"ck_{n}"),
+        ]
+    per_pid = base.groupBy("_pid").agg(*aggs)
+    # unpivot with stack so the heavy aggregation is ONE plan node (a
+    # per-sink union would carry B copies of the scan+agg subtree)
+    parts = ", ".join(f"'{n}', rc_{n}, mn_{n}, mx_{n}, ck_{n}" for n in names)
+    return (
+        per_pid.select(
+            "_pid",
+            F.expr(
+                f"stack({len(names)}, {parts}) AS "
+                "(sink, row_count, min_doc_id, max_doc_id, token_checksum)"
+            ),
+        )
+        .filter(F.col("row_count") > 0)
+        .select(
+            "sink",
             F.lit(batch_id).cast("long").alias("batch_id"),
             F.col("_pid").alias("partition_id"),
             "row_count",

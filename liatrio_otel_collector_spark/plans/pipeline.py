@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tokens import parse_tokens_expr, parse_tokens_udf
@@ -104,22 +104,35 @@ def enrich_stage(df: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def route_predicates(cfg: PipelineConfig) -> "dict[str, Column]":
+    """The row-sink membership predicates, exposed so a single combined
+    manifest pass (streaming/job.py) can compute every row sink's lineage in
+    ONE scan of the enriched frame instead of one re-scan per sink."""
+    preds: dict[str, Column] = {}
+    if "logs" in cfg.sinks:
+        # F8 analog: the OTTL filter keeps only event-bearing records
+        preds["logs"] = F.col("severity").isin("warn", "error", "fatal")
+    if "traces" in cfg.sinks:
+        # F4 analog: completed-only gate; webhook source has no trace context
+        preds["traces"] = F.col("scope").isin("scope-0", "scope-1", "scope-2") & (
+            F.col("source") != "webhook"
+        )
+    return preds
+
+
 def route_stage(enriched: DataFrame, cfg: PipelineConfig) -> dict[str, DataFrame]:
     """Fan rows out to per-signal sinks. Tokens pass through UNTOUCHED on the
     row sinks — the per-row token-array-equality invariant."""
+    preds = route_predicates(cfg)
     out: dict[str, DataFrame] = {}
-    if "logs" in cfg.sinks:
-        # F8 analog: the OTTL filter keeps only event-bearing records
-        out["logs"] = enriched.filter(F.col("severity").isin("warn", "error", "fatal"))
-    if "traces" in cfg.sinks:
-        # F4 analog: completed-only gate; webhook source has no trace context
-        tr = enriched.filter(
-            F.col("scope").isin("scope-0", "scope-1", "scope-2")
-            & (F.col("source") != "webhook")
+    if "logs" in preds:
+        out["logs"] = enriched.filter(preds["logs"])
+    if "traces" in preds:
+        out["traces"] = (
+            enriched.filter(preds["traces"])
+            .withColumn("trace_id", trace_id("doc_id", "source"))
+            .withColumn("span_id", span_id("doc_id", "scope"))
         )
-        out["traces"] = tr.withColumn(
-            "trace_id", trace_id("doc_id", "source")
-        ).withColumn("span_id", span_id("doc_id", "scope"))
     return out
 
 

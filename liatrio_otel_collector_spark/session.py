@@ -65,6 +65,20 @@ def get_spark(
         # the scarce resource, not CPU
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # Iceberg: when the runtime jar has been vendored into dist/ (see
+    # scripts/fetch_iceberg_jar.sh — this sandbox has no network route, so
+    # the fetch runs on a connected host), wire the jar + SQL extensions so
+    # tests/test_iceberg.py's skips become passes without any spark-submit
+    # flags.  Absent jar -> no-op, identical session.
+    from pathlib import Path as _Path
+
+    _dist = _Path(__file__).resolve().parent.parent / "dist"
+    _ice = sorted(str(p) for p in _dist.glob("iceberg-spark-runtime-*.jar"))
+    if _ice:
+        b = b.config("spark.jars", ",".join(_ice)).config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
     # On one box, shuffle + staging IO share a single disk — a serial term a
     # real cluster doesn't have (per-executor local disks). Benchmarks set
     # this to a tmpfs path to model per-node IO scaling.

@@ -26,8 +26,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.lineage import lineage_manifest
-from ..plans.pipeline import PipelineConfig, aggregate_stage, enrich_stage, parse_stage, route_stage
+from ..plans.lineage import combined_row_manifests, lineage_manifest
+from ..plans.pipeline import (
+    PipelineConfig,
+    aggregate_stage,
+    enrich_stage,
+    parse_stage,
+    route_predicates,
+    route_stage,
+)
 from ..sources.sequences import enrich_dim
 
 SEQ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string, id bigint"
@@ -40,14 +47,16 @@ class StreamingConfig:
     checkpoint_dir: str
     max_files_per_trigger: int = 1
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
-    # False (default): the enriched frame is .persist()ed for the in-batch
-    # fan-out — micro-batches sized by the trigger fit executor storage, and
-    # persist measured ~20% faster than staging at 2.5M-row batches.  True:
-    # use the batch run_pipeline staged-write fan-out instead — the right
-    # setting when a batch can be arbitrarily large (first batch after long
-    # downtime, availableNow catch-up over days of input), where the staged
-    # pattern's memory-independence wins (3x at 10M+ rows).
-    stage_batches: bool = False
+    # None (default): AUTO-select the fan-out strategy per batch from its
+    # row count — persist below stage_threshold_rows, staged write at or
+    # above it.  Persist measured ~20% faster at 2.5M-row batches (the cache
+    # fits and the write round-trip is pure overhead); the staged pattern
+    # wins 3x at 10M+ rows (cache build is GC-bound and anti-scales) and is
+    # the only memory-independent choice for catch-up batches of unbounded
+    # size (first batch after long downtime, availableNow over days of
+    # input).  True/False pin the strategy explicitly.
+    stage_batches: bool | None = None
+    stage_threshold_rows: int = 5_000_000
 
 
 def _process_batch(spark: SparkSession, cfg: StreamingConfig):
@@ -60,18 +69,27 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
         t0 = time.time()
         from ..plans.pipeline import resolve_salt_buckets
 
+        # cheap columnar count (zero-column parquet scan) BEFORE any heavy
+        # work: it sizes the batch for the auto fan-out decision and doubles
+        # as input_rows on the staged path
+        n_raw = batch_df.count()
+        stage = (
+            cfg.stage_batches
+            if cfg.stage_batches is not None
+            else n_raw >= cfg.stage_threshold_rows
+        )
         salted = batch_df.repartition(
             F.col("source"),
             F.pmod(F.xxhash64("doc_id"), F.lit(resolve_salt_buckets(spark, cfg.pipeline))),
         )
-        # fan-out strategy per cfg.stage_batches (see StreamingConfig): both
-        # paths produce identical sinks; they differ only in where the
-        # enriched frame lives during the in-batch fan-out
+        # fan-out strategy per `stage` (see StreamingConfig): both paths
+        # produce identical sinks; they differ only in where the enriched
+        # frame lives during the in-batch fan-out
         stage_dir = None
         enriched = None
         built = enrich_stage(parse_stage(salted, use_udf=cfg.pipeline.use_udf_parse), dim)
         try:
-            if cfg.stage_batches:
+            if stage:
                 stage_dir = tempfile.mkdtemp(
                     prefix=f"liatrio_stream_b{batch_id}_", dir=cfg.pipeline.scratch_dir
                 )
@@ -81,46 +99,94 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
                 enriched = built.persist()
             routed = route_stage(enriched, cfg.pipeline)
             aggs = aggregate_stage(enriched, routed, cfg.pipeline)
+            preds = route_predicates(cfg.pipeline)
 
-            def write_sink(item: tuple[str, DataFrame]) -> tuple[str, int]:
-                name, df = item
-                out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-                out.write.mode("append").parquet(os.path.join(cfg.output_dir, name))
-                # the manifest frame is WRITTEN distributed (never collected:
-                # at 10^5 partitions a per-batch collect serializes on the
-                # driver); the sink count is then a one-row agg over the tiny
-                # just-written manifest parquet — no recompute of the sink
-                # DAG, O(1) driver traffic.  Each batch lands in its own
-                # batch_id=K hive subdir so the count scan reads ONE batch's
-                # manifest — reading the whole dir would grow O(batches) and
-                # quietly dominate a long-running stream.
-                m_path = os.path.join(cfg.output_dir, "_lineage", name)
-                b_path = os.path.join(m_path, f"batch_id={batch_id}")
-                lineage_manifest(df, name, batch_id).drop("batch_id").coalesce(
-                    1
-                ).write.mode("append").parquet(b_path)
-                return name, (
-                    spark.read.parquet(b_path)
-                    .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
-                    .first()[0]
+            def _manifest_dir(name: str) -> str:
+                # each batch lands in its own batch_id=K hive subdir so any
+                # per-batch read touches ONE batch's manifest — reading the
+                # whole dir would grow O(batches) and quietly dominate a
+                # long-running stream
+                return os.path.join(
+                    cfg.output_dir, "_lineage", name, f"batch_id={batch_id}"
                 )
 
-            # materialize the shared frame ONCE (fills the cache / proves the
-            # staged read) before fanning out, so concurrent sinks never race
-            # to compute the same partitions
-            input_rows = enriched.count()
+            def write_row_sink(item: tuple[str, DataFrame]) -> None:
+                name, df = item
+                df.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+                    "append"
+                ).parquet(os.path.join(cfg.output_dir, name))
+
+            def write_agg_sink(item: tuple[str, DataFrame]) -> None:
+                # agg sinks are tiny; their manifest comes from the WRITTEN
+                # batch subset (re-deriving it from the enriched frame would
+                # re-run the whole aggregation scan per sink)
+                name, df = item
+                path = os.path.join(cfg.output_dir, name)
+                df.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+                    "append"
+                ).parquet(path)
+                written = (
+                    spark.read.parquet(path)
+                    .filter(F.col("batch_id") == batch_id)
+                    .drop("batch_id")
+                )
+                lineage_manifest(written, name, batch_id).drop("batch_id").coalesce(
+                    1
+                ).write.mode("append").parquet(_manifest_dir(name))
+
+            # materialize the shared frame ONCE before fanning out, so
+            # concurrent sinks never race to compute the same partitions: on
+            # the persist path the count FILLS the cache; on the staged path
+            # the write already materialized and n_raw (rows are 1:1 through
+            # parse + left-join enrich) saves the extra job
+            input_rows = n_raw if stage else enriched.count()
             # sinks write CONCURRENTLY (one driver thread each — Spark's
             # scheduler interleaves the jobs across the executor pool): on
             # micro-batches the per-sink job-scheduling latency is serial
             # dead time, and the five sinks share the persisted/staged
-            # enriched frame so there is no recompute between them
+            # enriched frame so there is no recompute between them.  Row-sink
+            # lineage is NOT recomputed per sink: one combined pass over the
+            # enriched frame (conditional aggregates per membership
+            # predicate) yields every row sink's manifest plus the _input
+            # manifest — the per-sink recompute was one extra scan of the
+            # wide token column per sink, the dominant fan-out overhead.
             from concurrent.futures import ThreadPoolExecutor
 
             sinks = {**routed, **aggs}
-            counts = {}
-            if sinks:  # all-sinks-disabled configs still get a _metrics row
-                with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-                    counts = dict(pool.map(write_sink, sinks.items()))
+            counts: dict[str, int] = {}
+            manifests = None
+            try:
+                if routed:
+                    manifests = combined_row_manifests(
+                        enriched, preds, batch_id
+                    ).persist()
+
+                def write_manifests() -> dict[str, int]:
+                    if manifests is None:
+                        return {}
+                    for name in ["_input", *routed]:
+                        manifests.filter(F.col("sink") == name).drop(
+                            "sink", "batch_id"
+                        ).coalesce(1).write.mode("append").parquet(_manifest_dir(name))
+                    return {
+                        r["sink"]: r["rc"]
+                        for r in manifests.groupBy("sink")
+                        .agg(F.sum("row_count").alias("rc"))
+                        .collect()
+                    }
+
+                tasks = [(write_row_sink, item) for item in routed.items()]
+                tasks += [(write_agg_sink, item) for item in aggs.items()]
+                if sinks or routed:
+                    with ThreadPoolExecutor(max_workers=len(tasks) + 1) as pool:
+                        futs = [pool.submit(fn, item) for fn, item in tasks]
+                        man_fut = pool.submit(write_manifests)
+                        for f in futs:
+                            f.result()
+                        counts = man_fut.result()
+            finally:
+                if manifests is not None:
+                    manifests.unpersist()
             elapsed = time.time() - t0
             metrics = spark.createDataFrame(
                 [

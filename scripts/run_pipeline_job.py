@@ -31,7 +31,8 @@ if _REPO not in sys.path:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=1_000_000)
-    p.add_argument("--output", required=True)
+    p.add_argument("--output", default=None,
+                   help="sink dir; omit for count-only mode (throughput measurement)")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--input", help="input dir of sequence parquet (streaming mode)")
     p.add_argument("--checkpoint", help="checkpoint dir (streaming mode)")
@@ -42,6 +43,8 @@ def main() -> None:
     from liatrio_otel_collector_spark.session import get_spark
 
     spark = get_spark(app_name="liatrio-otel-pipeline")
+    if args.streaming and not args.output:
+        sys.exit("--streaming requires --output")
     cfg = PipelineConfig(output_dir=args.output, use_udf_parse=not args.no_udf_parse)
 
     if args.streaming:
@@ -59,6 +62,25 @@ def main() -> None:
         q.awaitTermination()
         print(json.dumps({"mode": "streaming", "status": "drained"}))
     else:
+        # count-only (no --output): one warmup + best-of-2 measured runs, the
+        # same steady-state methodology as bench.py / scaling_bench.py
+        if not args.output:
+            run_pipeline(spark, args.rows, cfg)
+            runs = []
+            for _ in range(2):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                counts = run_pipeline(spark, args.rows, cfg)
+                runs.append(time.time() - t0)
+            dt = min(runs)
+            print(json.dumps({
+                "mode": "batch-count-only", "rows": args.rows,
+                "sec": round(dt, 2), "runs_sec": [round(r, 2) for r in runs],
+                "routed_sequences_per_sec": round(args.rows / dt, 1),
+                "sink_counts": counts,
+            }))
+            spark.stop()
+            return
         t0 = time.time()
         counts = run_pipeline(spark, args.rows, cfg)
         dt = time.time() - t0

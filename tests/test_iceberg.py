@@ -7,12 +7,21 @@ classpath, and skip (with the exact spark-submit line documented in
 README.md §Iceberg) where they are not — this container ships no catalog
 jars.
 
-To run green, launch with e.g.:
+To run green, either vendor the jar (scripts/fetch_iceberg_jar.sh drops it
+into dist/, which session.get_spark auto-wires — jar + SQL extensions — on
+the next session), or launch with e.g.:
 
     spark-submit \
       --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
       --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
       ...
+
+Why the skips persist in THIS sandbox (verified round 5): the container has
+no network route (curl to repo1.maven.org exits 6 — DNS resolution fails),
+pip/apt installs are prohibited, and a filesystem-wide `find` shows no
+Iceberg jar shipped anywhere on disk.  The vendoring path therefore cannot
+execute here; the fetch script + auto-wiring make it a one-command step on
+any connected host.
 """
 
 from __future__ import annotations

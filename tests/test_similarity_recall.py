@@ -73,3 +73,30 @@ def test_ivf_recall_curve_by_nprobe(spark):
     assert recalls[1] < recalls[IVF_NPROBE] < recalls[IVF_K], recalls
     assert recalls[IVF_NPROBE] >= 0.40, recalls
     assert recalls[IVF_K] == 1.0, recalls
+
+
+def test_ivf_kmeans_centroids_lift_recall(spark):
+    """Learned (deterministic-Lloyd) centroids vs the stride sample at EQUAL
+    nprobe: the recall curve shifts up at every point, never down.
+
+    Measured on this fixture (500 vecs, K=8, 2 Lloyd iterations, 20
+    queries): nprobe 1: 0.29→0.31, 2: 0.47→0.49, 3: 0.53→0.65, 4: 0.70→0.74.
+    Balanced learned cells also tighten the probe-fraction/recall tradeoff —
+    the property that matters when n_centroids ~ sqrt(N) at scale."""
+    from liatrio_otel_collector_spark.operators.similarity import (
+        ivf_kmeans_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = _pairs(brute_force_topk(emb, QIDS, K))
+    learned_cents = ivf_kmeans_centroids(emb)
+    lifted = 0
+    for nprobe in (1, 2, 3, 4):
+        sampled = len(_pairs(ivf_topk(emb, QIDS, K, nprobe=nprobe)) & exact)
+        learned = len(
+            _pairs(ivf_topk(emb, QIDS, K, nprobe=nprobe, centroids=learned_cents)) & exact
+        )
+        assert learned >= sampled, (nprobe, learned, sampled)
+        lifted += learned > sampled
+    assert lifted >= 2, "k-means should strictly improve recall at several nprobe points"

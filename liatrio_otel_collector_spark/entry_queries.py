@@ -2776,6 +2776,94 @@ FROM events WHERE event_id < 3000 AND event_id % 3 = 0
 )(_cm3)
 
 # ---------------------------------------------------------------------------
+# r5: cm4 — OTTL datapoint context: a metrics pipeline whose
+# transformprocessor runs metric_statements (metric.name path, map editors)
+# and whose filterprocessor drops datapoints by value — the metrics third of
+# the all-signals transform/filter surface (config/manifest.yaml:40),
+# YAML-driven like cm2/cm3.
+# ---------------------------------------------------------------------------
+
+_CM4_YAML = r"""
+receivers:
+  otlp: {}
+processors:
+  transform/datapoints:
+    error_mode: ignore
+    metric_statements:
+      - context: datapoint
+        statements:
+          - set(datapoint.attributes["metric.name"], metric.name)
+          - set(datapoint.attributes["vcs.vendor"], "github")
+          - replace_all_patterns(datapoint.attributes, "key", "^repository\\.", "vcs.repository.")
+          - delete_key(datapoint.attributes, "internal.tag")
+          - truncate_all(datapoint.attributes, 20)
+  filter/nonzero:
+    error_mode: ignore
+    metrics:
+      datapoint:
+        - value_int == 0
+exporters:
+  debug: {}
+service:
+  pipelines:
+    metrics:
+      receivers: [otlp]
+      processors: [transform/datapoints, filter/nonzero]
+      exporters: [debug]
+"""
+
+
+def _cm4(spark, sf):
+    from .confmap import AssembleContext, assemble, load_config
+
+    e = load_tables(spark, sf)["events"]
+    dp = e.select(
+        F.col("event_id").cast("bigint").alias("eid"),
+        F.when(F.col("event_id") % 3 == 0, "vcs.change.count")
+        .when(F.col("event_id") % 3 == 1, "vcs.ref.count")
+        .otherwise("vcs.contributor.count")
+        .alias("metric_name"),
+        (F.col("event_id") % 7).cast("long").alias("value_int"),
+        F.create_map(
+            F.lit("repository.name"),
+            F.concat(F.lit("repo-"), (F.col("user_id") % 20).cast("string")),
+            F.lit("internal.tag"),
+            F.lit("x"),
+            F.lit("team.name"),
+            F.concat(F.lit("team-"), F.sha2(F.col("user_id").cast("string"), 256)),
+        ).alias("attrs"),
+    )
+    cfg = load_config(_CM4_YAML)
+    out = assemble(spark, cfg, AssembleContext(frames={"otlp": dp}))["metrics"]
+    a = F.col("attrs")
+    return out.select(
+        "eid",
+        "metric_name",
+        F.col("value_int").alias("value"),
+        a["vcs.repository.name"].alias("repo"),
+        a["team.name"].alias("team"),
+        a["metric.name"].alias("mname"),
+        a["vcs.vendor"].alias("vendor"),
+    )
+
+
+_q(
+    "cm4_ottl_datapoint_pipeline",
+    """
+SELECT CAST(event_id AS BIGINT) AS eid,
+       CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'vcs.change.count'
+            WHEN 1 THEN 'vcs.ref.count' ELSE 'vcs.contributor.count' END AS metric_name,
+       CAST(event_id % 7 AS BIGINT) AS value,
+       'repo-' || CAST(user_id % 20 AS VARCHAR) AS repo,
+       substring('team-' || sha256(CAST(user_id AS VARCHAR)), 1, 20) AS team,
+       substring(CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'vcs.change.count'
+            WHEN 1 THEN 'vcs.ref.count' ELSE 'vcs.contributor.count' END, 1, 20) AS mname,
+       'github' AS vendor
+FROM events WHERE event_id % 7 <> 0
+""",
+)(_cm4)
+
+# ---------------------------------------------------------------------------
 # r5: gk3 — grok with a USER pattern file (VERDICT r4 item 8): real pipelines
 # ship custom logstash `patterns/` packs; load_pattern_file + add_patterns
 # resolve %{REF} composites (cycle-checked, capture-safe) and the SAME merged
@@ -2920,6 +3008,7 @@ _DRIVER_WINDOW = [
     "pr2_tail_sampler",
     # new in r5
     "cm3_ottl_span_pipeline",
+    "cm4_ottl_datapoint_pipeline",
     "gk3_grok_pattern_file",
     "sim4_ivf_kmeans_topk",
     # r4-new rows kept for a second consecutive driver grade
@@ -2929,9 +3018,9 @@ _DRIVER_WINDOW = [
     # heaviest plan + r4 bench watch item
     "dd7_dup_clusters",
     "pl7_token_bigrams",
-    # flagship rows kept in-window for continuous re-grading
+    # flagship rows kept in-window for continuous re-grading (pl2 rotates
+    # out to make room for cm4 — its freshness holds via its green r4 row)
     "pl1_parse_route_aggregate",
-    "pl2_enrich_rollup",
     "pl3_trace_ids",
     "pl4_logs_route_token_equality",
     "dd1_exact_dedup",

@@ -107,8 +107,18 @@ to model per-node disks (one shared spindle is likewise a single-box
 artifact). Generated {stamp} by scripts/scaling_bench.py.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # regenerate ONLY the header + scaling table; per-round addenda ("## …"
+    # sections appended by hand each round) are preserved verbatim —
+    # previously this write dropped them and they had to be restored from git
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(
         json.dumps(
             {

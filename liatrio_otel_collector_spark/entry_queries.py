@@ -2958,6 +2958,98 @@ FROM parsed GROUP BY 1
 )(_gk3)
 
 # ---------------------------------------------------------------------------
+# r5: pl8 — token-budget sequence packing (training-batch assembly): per
+# source, documents pack into fixed token budgets by cumulative-token offset
+# bucketing — pack_id = floor(preceding_tokens / B).  The Spark-first packing
+# strategy at 100 TB: ONE window cum-sum per source partition (no driver
+# loop, no per-pack state), deterministic, and docs stay whole.
+# ---------------------------------------------------------------------------
+
+_PL8_BUDGET = 2048
+
+
+def _pl8(spark, sf):
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf)["documents"]
+    tok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    x = (
+        d.select("doc_id", "source", tok.alias("tok"))
+        .withColumn("cum", F.sum("tok").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("tok")) / F.lit(_PL8_BUDGET)).cast("bigint"),
+        )
+    )
+    return x.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("tok_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_q(
+    "pl8_token_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS tok,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT source, CAST(floor((cum - tok) / {_PL8_BUDGET}.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM t GROUP BY 1, 2
+""",
+)(_pl8)
+
+# ---------------------------------------------------------------------------
+# r5: ts7 — corpus-statistics quality signal: rare-word ratio per document
+# from a two-pass unigram model (global word frequencies, then a keyed join
+# back).  Integer-exact (counts and a floor-permille) so both engines hash-
+# match; the freq side joins on the word key — Spark picks broadcast while
+# the vocabulary fits and shuffle-hash beyond (Zipf vocab at 100 TB exceeds
+# any broadcast budget, so the plan must not FORCE a broadcast).
+# ---------------------------------------------------------------------------
+
+
+def _ts7(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    joined = words.join(freq, "w")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("c") < 5, 1).otherwise(0)).cast("bigint").alias("rare_words"),
+    )
+    return out.withColumn(
+        "rare_permille",
+        F.floor(1000 * F.col("rare_words") / F.col("n_words")).cast("bigint"),
+    )
+
+
+_q(
+    "ts7_rare_word_stats",
+    """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), freq AS (SELECT w, count(*) AS c FROM words GROUP BY w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS rare_words,
+       CAST(floor(1000.0 * sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS rare_permille
+FROM words JOIN freq USING (w) GROUP BY doc_id
+""",
+)(_ts7)
+
+# ---------------------------------------------------------------------------
 # Driver grading window (established r3; rotated per VERDICT r4 item 1).
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
@@ -3011,6 +3103,8 @@ _DRIVER_WINDOW = [
     "cm4_ottl_datapoint_pipeline",
     "gk3_grok_pattern_file",
     "sim4_ivf_kmeans_topk",
+    "pl8_token_packing",
+    "ts7_rare_word_stats",
     # r4-new rows kept for a second consecutive driver grade
     "mm1_multimodal_features",
     "gk2_grok_apache_log",
@@ -3018,12 +3112,11 @@ _DRIVER_WINDOW = [
     # heaviest plan + r4 bench watch item
     "dd7_dup_clusters",
     "pl7_token_bigrams",
-    # flagship rows kept in-window for continuous re-grading (pl2 rotates
-    # out to make room for cm4 — its freshness holds via its green r4 row)
+    # flagship rows kept in-window for continuous re-grading (pl2/pl4/dd1
+    # rotate out to make room for the cm4/pl8/ts7 first grades — their
+    # freshness holds via their green r4 rows)
     "pl1_parse_route_aggregate",
     "pl3_trace_ids",
-    "pl4_logs_route_token_equality",
-    "dd1_exact_dedup",
     "dd2_minhash_near_dups",
     "dd6_contamination_scan",
     "a12_deployment_count",

@@ -16,7 +16,8 @@ Supported surface (the subset the reference palette actually uses):
                replace_all_patterns(path, "key"|"value", "re", "repl") /
                delete_matching_keys(path, "re"), each with an optional
                ``where <bool-expr>`` suffix
-  functions    ParseJSON(e), Concat([e...], sep), IsMatch(e, pattern)
+  functions    ParseJSON(e), Concat([e...], sep), IsMatch(e, pattern),
+               Int(e), Double(e), String(e), Len(e), Substring(e, start, n)
   contexts     log (log_statements / filter logs.log_record),
                span (trace_statements / filter traces.span),
                datapoint (metric_statements / filter metrics.datapoint) —
@@ -30,7 +31,7 @@ Supported surface (the subset the reference palette actually uses):
                span.attributes["k"]; datapoint.attributes["k"] /
                datapoint.value_int / datapoint.value_double /
                datapoint.time_unix_nano / metric.name / metric.unit
-  operators    and, or, not, ==, != and the nil literal
+  operators    and, or, not, ==, !=, >, <, >=, <= and the nil literal
 
 Spark-first semantics, matching the hand-written analogs in plans/logs.py:
 
@@ -74,7 +75,7 @@ _TOKEN_RE = re.compile(
         (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op>==|!=|[()\[\],.])
+      | (?P<op>==|!=|>=|<=|>|<|[()\[\],.])
     )""",
     re.VERBOSE,
 )
@@ -174,7 +175,7 @@ class _Parser:
     def cmp_expr(self) -> Any:
         left = self.primary()
         v = self.peek()[1]
-        if v in ("==", "!="):
+        if v in ("==", "!=", ">", "<", ">=", "<="):
             self.next()
             return (v, left, self.primary())
         return left
@@ -518,6 +519,34 @@ def _compile_expr(e: Any, st: _State, schema: str) -> Column:
             return _compile_expr(args[0], st, schema).cast("string").rlike(
                 _as_literal_str(args[1])
             )
+        # upstream ottlfuncs converters — Spark casts share OTTL's semantics
+        # here (nil in -> nil out; unparseable string -> nil via try_cast)
+        if name == "Int":
+            return _compile_expr(args[0], st, schema).try_cast("bigint")
+        if name == "Double":
+            return _compile_expr(args[0], st, schema).try_cast("double")
+        if name == "String":
+            return _compile_expr(args[0], st, schema).cast("string")
+        if name == "Len":
+            return F.length(_compile_expr(args[0], st, schema).cast("string"))
+        if name == "Substring":
+            # OTTL Substring(target, start, length): 0-based start; Spark's
+            # substring is 1-based
+            if (
+                len(args) != 3
+                or args[1][0] != "num"
+                or args[2][0] != "num"
+                or not isinstance(args[1][1], int)
+                or not isinstance(args[2][1], int)
+                or args[1][1] < 0
+                or args[2][1] < 0
+            ):
+                raise OttlError("Substring(target, start>=0, length>=0) with int literals")
+            return F.substring(
+                _compile_expr(args[0], st, schema).cast("string"),
+                args[1][1] + 1,
+                args[2][1],
+            )
         raise OttlError(f"unsupported OTTL function {name!r}")
     if kind == "and":
         return _compile_expr(e[1], st, schema) & _compile_expr(e[2], st, schema)
@@ -533,6 +562,9 @@ def _compile_expr(e: Any, st: _State, schema: str) -> Column:
             return col.isNull() if kind == "==" else col.isNotNull()
         l, r = _compile_expr(left, st, schema), _compile_expr(right, st, schema)
         return (l == r) if kind == "==" else (l != r)
+    if kind in (">", "<", ">=", "<="):
+        l, r = _compile_expr(e[1], st, schema), _compile_expr(e[2], st, schema)
+        return {">": l > r, "<": l < r, ">=": l >= r, "<=": l <= r}[kind]
     raise OttlError(f"cannot compile node {e!r}")
 
 

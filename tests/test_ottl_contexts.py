@@ -196,6 +196,40 @@ class TestDatapointContext:
         assert by_name["vcs.change.count"].get("big") == "yes"
         assert "big" not in by_name["vcs.ref.count"]
 
+    def test_relational_operators(self, spark):
+        out = ottl.compile_chain(
+            self._frame(spark),
+            _chain({"metric_statements": [
+                'set(datapoint.attributes["gt"], "y") where value_int > 3',
+                'set(datapoint.attributes["le"], "y") where value_int <= 3',
+                'set(datapoint.attributes["ge7"], "y") where value_int >= 7',
+            ]}),
+            signal="metrics",
+        )
+        by_name = {r["metric_name"]: r["attrs"] for r in out.collect()}
+        a7, a3 = by_name["vcs.change.count"], by_name["vcs.ref.count"]
+        assert a7.get("gt") == "y" and "le" not in a7 and a7.get("ge7") == "y"
+        assert "gt" not in a3 and a3.get("le") == "y" and "ge7" not in a3
+
+    def test_converters(self, spark):
+        out = ottl.compile_chain(
+            self._frame(spark),
+            _chain({"metric_statements": [
+                'set(datapoint.attributes["len"], Len(metric.name))',
+                'set(datapoint.attributes["sub"], Substring(metric.name, 4, 6))',
+                'set(datapoint.attributes["dbl"], Double(value_int))',
+                'set(datapoint.attributes["bad"], Int("not-a-number"))',
+                'set(datapoint.attributes["s"], String(value_int))',
+            ]}),
+            signal="metrics",
+        )
+        a = {r["metric_name"]: r["attrs"] for r in out.collect()}["vcs.change.count"]
+        assert a["len"] == "16"          # len("vcs.change.count")
+        assert a["sub"] == "change"      # 0-based start=4, length 6
+        assert a["dbl"] == "7.0"
+        assert "bad" not in a            # Int("junk") -> nil -> set is a no-op
+        assert a["s"] == "7"
+
 
 @settings(max_examples=15, deadline=None)
 @given(

@@ -406,6 +406,11 @@ def _apply_processor(
     if _is_ottl(pid, pcfg):
         # single OTTL processor outside a detected run (assemble batches
         # consecutive ones; this path keeps _apply_processor self-sufficient)
+        if signal not in ("logs", "traces", "metrics"):
+            raise ConfigError(
+                f"processor {pid!r}: OTTL needs a logs/traces/metrics pipeline "
+                "id to pick its statement context; refusing to guess"
+            )
         from . import ottl
 
         try:
@@ -558,12 +563,22 @@ def assemble(
             # the pipeline's signal (logs/traces/metrics, before any '/name'
             # suffix) picks which OTTL statement lists compile and onto which
             # context's columns — same dispatch as the collector's service
-            # graph handing each processor the signal's pdata type
+            # graph handing each processor the signal's pdata type.  A
+            # pipeline with any OTHER name prefix may carry only generic
+            # processors: compiling its OTTL under a guessed signal would
+            # silently no-op every statement (the collector rejects such
+            # pipeline IDs at config validation).
             signal = name.split("/", 1)[0]
             i = 0
             while i < len(procs):
                 pid = procs[i]
                 if _is_ottl(pid, cfg.processors[pid]):
+                    if signal not in ("logs", "traces", "metrics"):
+                        raise ConfigError(
+                            f"pipeline {name!r}: OTTL processor {pid!r} needs a "
+                            "logs/traces/metrics pipeline id to pick its "
+                            "statement context; refusing to guess"
+                        )
                     # maximal consecutive OTTL run compiles as ONE program:
                     # schema inference must see keep_keys from later
                     # processors when compiling an earlier ParseJSON
@@ -574,11 +589,11 @@ def assemble(
                     from . import ottl
 
                     try:
-                        df = ottl.compile_chain(df, run, signal=signal if signal in ("logs", "traces", "metrics") else "logs")
+                        df = ottl.compile_chain(df, run, signal=signal)
                     except ottl.OttlError as e:
                         raise ConfigError(f"pipeline {name!r} OTTL chain: {e}") from None
                 else:
-                    df = _apply_processor(df, pid, cfg.processors[pid], ctx, signal=signal if signal in ("logs", "traces", "metrics") else "logs")
+                    df = _apply_processor(df, pid, cfg.processors[pid], ctx, signal=signal)
                     i += 1
             out[name] = df
             for e in p["exporters"]:

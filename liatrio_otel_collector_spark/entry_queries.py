@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.strings import workflow_path_to_name
@@ -1714,7 +1714,11 @@ SELECT * FROM parent UNION ALL SELECT * FROM step1 UNION ALL SELECT * FROM step2
 )
 
 
-def _ado_raw(events: DataFrame) -> DataFrame:
+def _ado_raw(events: DataFrame, run_result: Column | None = None) -> DataFrame:
+    """ADO webhook payload synth for s26/cm3.  ``run_result`` overrides the
+    run's result field (cm3's status-remap statement needs both branches
+    live); everything else is shared so the span-id oracle derivations stay
+    single-sourced."""
     e = events.filter(F.col("event_id") < 3000)
     pid = (F.col("event_id") % 13).cast("string")
     pipe = F.struct(
@@ -1724,7 +1728,7 @@ def _ado_raw(events: DataFrame) -> DataFrame:
     run = F.struct(
         F.col("event_id").cast("long").alias("id"),
         F.lit("completed").alias("state"),
-        F.lit("succeeded").alias("result"),
+        (run_result if run_result is not None else F.lit("succeeded")).alias("result"),
         F.col("ts").alias("createdDate"),
         F.expr("ts + INTERVAL 5 MINUTE").alias("finishedDate"),
         F.concat(F.lit("https://dev.azure.com/org/proj/_apis/pipelines/"), pid).alias("url"),
@@ -2679,72 +2683,18 @@ service:
 """
 
 
-def _cm3_raw(events):
-    """_ado_raw with a VARYING run result (the status-remap statement needs
-    both branches live) — everything else identical so the span-id oracle
-    derivations from s26 carry over."""
-    from .plans.ado_traces import EVENT_JOB, EVENT_RUN, EVENT_STAGE
-
-    e = events.filter(F.col("event_id") < 3000)
-    pid = (F.col("event_id") % 13).cast("string")
-    pipe = F.struct(
-        (F.col("event_id") % 13).cast("long").alias("id"),
-        F.concat(F.lit("pipe-"), pid).alias("name"),
-    )
-    run = F.struct(
-        F.col("event_id").cast("long").alias("id"),
-        F.lit("completed").alias("state"),
-        F.when(F.col("event_id") % 4 == 1, "failed").otherwise("succeeded").alias("result"),
-        F.col("ts").alias("createdDate"),
-        F.expr("ts + INTERVAL 5 MINUTE").alias("finishedDate"),
-        F.concat(F.lit("https://dev.azure.com/org/proj/_apis/pipelines/"), pid).alias("url"),
-        pipe.alias("pipeline"),
-    )
-    stage = F.struct(
-        F.concat(F.lit("st-"), F.col("event_id").cast("string")).alias("id"),
-        F.concat(F.lit("Deploy"), (F.col("event_id") % 4).cast("string")).alias("name"),
-        F.lit("Deployment").alias("displayName"),
-        F.lit(1).cast("long").alias("attempt"),
-        F.lit("completed").alias("state"),
-        F.lit("succeeded").alias("result"),
-        F.col("ts").alias("startTime"),
-        F.expr("ts + INTERVAL 2 MINUTE").alias("finishTime"),
-    )
-    job = F.struct(
-        F.concat(F.lit("jb-"), F.col("event_id").cast("string")).alias("id"),
-        F.concat(F.lit("J"), (F.col("event_id") % 6).cast("string")).alias("name"),
-        (F.col("event_id") % 2 + 1).cast("long").alias("attempt"),
-        F.lit("completed").alias("state"),
-        F.lit("succeeded").alias("result"),
-        F.col("ts").alias("startTime"),
-        F.expr("ts + INTERVAL 1 MINUTE").alias("finishTime"),
-    )
-    etype = (
-        F.when(F.col("event_id") % 3 == 0, F.lit(EVENT_RUN))
-        .when(F.col("event_id") % 3 == 1, F.lit(EVENT_STAGE))
-        .otherwise(F.lit(EVENT_JOB))
-    )
-    payload = F.to_json(
-        F.struct(
-            etype.alias("eventType"),
-            F.struct(
-                F.lit("proj-guid").alias("projectId"),
-                F.col("event_id").cast("long").alias("runId"),
-                run.alias("run"),
-                pipe.alias("pipeline"),
-                stage.alias("stage"),
-                job.alias("job"),
-            ).alias("resource"),
-        )
-    )
-    return e.select(payload.alias("body_raw"))
 
 
 def _cm3(spark, sf):
     from .confmap import AssembleContext, assemble, load_config
     from .plans.ado_traces import ado_trace_pipeline
 
-    spans = ado_trace_pipeline(_cm3_raw(load_tables(spark, sf)["events"]))
+    spans = ado_trace_pipeline(
+        _ado_raw(
+            load_tables(spark, sf)["events"],
+            run_result=F.when(F.col("event_id") % 4 == 1, "failed").otherwise("succeeded"),
+        )
+    )
     cfg = load_config(_CM3_YAML)
     out = assemble(spark, cfg, AssembleContext(frames={"otlp": spans}))["traces"]
     a = F.col("attrs")
@@ -3054,14 +3004,15 @@ FROM words JOIN freq USING (w) GROUP BY doc_id
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
 # order.  Round-5 rotation: the 32 queries whose newest driver row is r3 come
-# back in-window, the 3 r5 additions (cm3/gk3/sim4) get first grades, and 15
-# repeats carry over from the r4 window (the 10 flagship rows, the 3 r4-new
-# rows for a second consecutive grade, plus dd7/pl7 — the heaviest plan and
-# the r4 bench watch item).  The r4 ∪ r5 windows cover ALL 85 queries, so
-# after this round every query's newest driver row is ≤1 round old — the
-# verdict's freshness invariant.  Rotated-out rows keep their keys, oracles,
-# and the full-set local parity gate (tests/test_oracle_parity.py) — only
-# dict ORDER moves.
+# back in-window, the 6 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7) get first
+# grades, and 12 repeats carry over from the r4 window (7 flagship rows, the
+# 3 r4-new rows for a second consecutive grade, plus dd7/pl7 — the heaviest
+# plan and the r4 bench watch item; pl2/pl4/dd1 rotated out to make the new
+# slots, their freshness held by green r4 rows).  The r4 ∪ r5 windows cover
+# ALL 88 queries, so after this round every query's newest driver row is ≤1
+# round old — the verdict's freshness invariant.  Rotated-out rows keep
+# their keys, oracles, and the full-set local parity gate
+# (tests/test_oracle_parity.py) — only dict ORDER moves.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -623,6 +623,11 @@ def _apply_statement(st: _State, stmt: dict[str, Any], schema: str, tree: dict) 
             value = _compile_expr(value_ast, st, schema)
             st.df = st.df.withColumn(p[0], _map_upsert(p[0], p[1], value, guard))
             return
+        if p[0] in ("attrs", "resource"):  # whole-map target, len(p) == 1
+            raise OttlError(
+                f"set() on the whole {p[0]} map would replace it with a scalar "
+                "— set one key (attributes[\"k\"]) or use merge_maps()"
+            )
         if len(p) == 1:  # plain column, e.g. severity_text
             value = _compile_expr(value_ast, st, schema)
             newc = F.when(guard, value).otherwise(F.col(p[0])) if guard is not None else value

@@ -111,25 +111,26 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
                 )
 
             def write_row_sink(item: tuple[str, DataFrame]) -> None:
+                # same batch_id=K hive layout as the agg sinks: readers see
+                # batch_id as a partition column (pruned per-batch access),
+                # and no constant column is serialized into every row
                 name, df = item
-                df.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-                    "append"
-                ).parquet(os.path.join(cfg.output_dir, name))
+                df.write.mode("append").parquet(
+                    os.path.join(cfg.output_dir, name, f"batch_id={batch_id}")
+                )
 
             def write_agg_sink(item: tuple[str, DataFrame]) -> None:
                 # agg sinks are tiny; their manifest comes from the WRITTEN
                 # batch subset (re-deriving it from the enriched frame would
-                # re-run the whole aggregation scan per sink)
+                # re-run the whole aggregation scan per sink).  The batch
+                # lands in its own batch_id=K hive subdir so the read-back
+                # touches ONE batch's files — a flat append + batch_id
+                # filter would list and scan every prior batch's files,
+                # O(batches) per batch and O(B^2) over a stream's lifetime.
                 name, df = item
-                path = os.path.join(cfg.output_dir, name)
-                df.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-                    "append"
-                ).parquet(path)
-                written = (
-                    spark.read.parquet(path)
-                    .filter(F.col("batch_id") == batch_id)
-                    .drop("batch_id")
-                )
+                b_path = os.path.join(cfg.output_dir, name, f"batch_id={batch_id}")
+                df.write.mode("append").parquet(b_path)
+                written = spark.read.parquet(b_path)
                 lineage_manifest(written, name, batch_id).drop("batch_id").coalesce(
                     1
                 ).write.mode("append").parquet(_manifest_dir(name))
@@ -164,9 +165,13 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
                 def write_manifests() -> dict[str, int]:
                     if manifests is None:
                         return {}
+                    # keep the `sink` column: agg-sink manifests (and every
+                    # pre-fold batch) retain it, so all _lineage files stay
+                    # union-compatible; only the hive-partitioned batch_id
+                    # drops out of the file payload
                     for name in ["_input", *routed]:
                         manifests.filter(F.col("sink") == name).drop(
-                            "sink", "batch_id"
+                            "batch_id"
                         ).coalesce(1).write.mode("append").parquet(_manifest_dir(name))
                     return {
                         r["sink"]: r["rc"]

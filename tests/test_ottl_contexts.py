@@ -145,6 +145,45 @@ class TestSpanContext:
         with pytest.raises(OttlError):
             ottl.parse_statement("set(span.status.bogus, 1)", context="span")
 
+    def test_set_whole_map_rejected(self, spark):
+        # set(span.attributes, "x") would replace the map with a scalar
+        with pytest.raises(OttlError, match="whole attrs map|whole .* map"):
+            ottl.compile_chain(
+                _span_frame(spark),
+                _chain({"trace_statements": ['set(span.attributes, "x")']}),
+                signal="traces",
+            )
+
+    def test_unknown_pipeline_signal_refuses_ottl(self, spark):
+        # an OTTL processor in a pipeline whose id is not logs/traces/metrics
+        # must raise, not silently no-op under a guessed signal
+        from liatrio_otel_collector_spark.confmap import (
+            AssembleContext,
+            ConfigError,
+            assemble,
+            load_config,
+        )
+
+        cfg = load_config(
+            """
+receivers:
+  otlp: {}
+processors:
+  transform/x:
+    trace_statements: ['set(span.attributes["k"], "v")']
+exporters:
+  debug: {}
+service:
+  pipelines:
+    spans:
+      receivers: [otlp]
+      processors: [transform/x]
+      exporters: [debug]
+"""
+        )
+        with pytest.raises(ConfigError, match="logs/traces/metrics"):
+            assemble(spark, cfg, AssembleContext(frames={"otlp": _span_frame(spark)}))
+
     def test_parsejson_rejected_outside_logs(self, spark):
         with pytest.raises(OttlError, match="log context"):
             ottl.compile_chain(

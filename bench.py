@@ -46,6 +46,13 @@ BENCH_QUERIES = [
     "gk2_grok_apache_log",
     "mm1_multimodal_features",
     "cm2_ottl_compiled_pipeline",
+    # round-5 additions
+    "cm3_ottl_span_pipeline",
+    "cm4_ottl_datapoint_pipeline",
+    "gk3_grok_pattern_file",
+    "sim4_ivf_kmeans_topk",
+    "pl8_token_packing",
+    "ts7_rare_word_stats",
 ]
 
 

@@ -43,6 +43,16 @@ GROK_PATTERNS: dict[str, str] = {
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(),~:;=@#%&_\-]*)+",
     "USER": r"[a-zA-Z0-9._-]+",
     "HOSTNAME": r"(?:[A-Za-z0-9][A-Za-z0-9\-]*\.)*[A-Za-z0-9][A-Za-z0-9\-]*",
+    # syslog-line staples (logstash grok-patterns names), RE2 ∩ Java as above
+    "SYSLOGTIMESTAMP": (
+        r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+        r" {1,2}\d{1,2} \d{2}:\d{2}:\d{2}"
+    ),
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",  # printable, no '[' ']'
+    "POSINT": r"\b[1-9]\d*\b",
+    "NONNEGINT": r"\b\d+\b",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",  # v4 alias (IPV6 needs backtracking-free rework)
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
 }
 
 # %{NAME:field} captures; bare %{NAME} matches without capturing (the

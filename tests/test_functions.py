@@ -234,3 +234,34 @@ HDR \\[%{TIMESTAMP_ISO8601}\\]
     # unknown reference refuses
     with _pytest.raises(ValueError, match="unknown grok pattern"):
         add_patterns({"A": "%{NOPE}"})
+
+
+def test_grok_syslog_builtins():
+    """The syslog-staple built-ins compile and match representative text in
+    Python's re (a superset check for the RE2 ∩ Java dialect claim: no
+    backrefs/lookaround appear in any of them by construction)."""
+    import re as _re
+
+    from liatrio_otel_collector_spark.functions.grok import GROK_PATTERNS, grok_compile
+
+    samples = {
+        "SYSLOGTIMESTAMP": ["Jan  2 03:04:05", "Dec 31 23:59:59"],
+        "PROG": ["sshd", "cron-job_2"],
+        "POSINT": ["1", "42"],
+        "NONNEGINT": ["0", "42"],
+        "IP": ["10.0.0.1"],
+        "UUID": ["123e4567-e89b-42d3-a456-426614174000"],
+    }
+    for name, goods in samples.items():
+        rx = _re.compile(f"^{GROK_PATTERNS[name]}$")
+        for g in goods:
+            assert rx.match(g), (name, g)
+        assert not _re.search(r"\\[1-9]|\(\?[=!<]", GROK_PATTERNS[name]), name
+
+    # literal text between refs is auto-escaped, so bare [ ] are literals
+    regex, fields = grok_compile(
+        "%{SYSLOGTIMESTAMP:ts} %{HOSTNAME:host} %{PROG:prog}[%{POSINT:pid}]: %{GREEDYDATA:msg}"
+    )
+    assert fields == ["ts", "host", "prog", "pid", "msg"]
+    m = _re.match(regex, "Jan  2 03:04:05 web-1.example sshd[4321]: accepted")
+    assert m and m.group(3) == "sshd" and m.group(4) == "4321"

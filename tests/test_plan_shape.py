@@ -209,3 +209,29 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_pl8_single_window_exchange(spark):
+    """pl8 token packing: the pack assignment is ONE window over a
+    source-partitioned exchange (no per-pack loop, no extra shuffle before
+    the window) — the property that makes offset-bucket packing linear at
+    100 TB."""
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["pl8_token_packing"](spark, SF))
+    assert plan.count("Window") >= 1, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ts7_freq_join_not_nested_loop(spark):
+    """ts7 rare-word stats: the word-frequency join must be a keyed join
+    (broadcast-hash here, shuffle-hash at scale) — never a nested loop; and
+    the plan must not force a broadcast hint (a Zipf vocabulary at 100 TB
+    exceeds any broadcast budget, so the optimizer has to stay free to pick
+    the shuffle strategy)."""
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["ts7_rare_word_stats"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan or "join" in plan

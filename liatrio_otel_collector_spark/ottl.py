@@ -20,9 +20,10 @@ Supported surface (the subset the reference palette actually uses):
                Int(e), Double(e), String(e), Len(e), Substring(e, start, n)
   contexts     log (log_statements / filter logs.log_record),
                span (trace_statements / filter traces.span),
-               datapoint (metric_statements / filter metrics.datapoint) —
-               the transformprocessor ships for all three signals
-               (/root/reference/config/manifest.yaml:40)
+               datapoint (metric_statements / filter metrics.datapoint),
+               resource (a `context: resource` group inside any signal's
+               statement list) — the transformprocessor ships for all
+               three signals (/root/reference/config/manifest.yaml:40)
   paths        log.body[...]..., log.attributes["k"],
                resource.attributes["k"], log.severity_text, bare
                body[...] / attributes[...] (filterprocessor context);
@@ -273,6 +274,19 @@ def _normalize_path(segs: list[str], context: str = "log") -> tuple[str, ...]:
     The context prefix is optional in every case (both the legacy
     context-relative and the modern fully-qualified transformprocessor
     spellings parse)."""
+    if context == "resource":
+        # transformprocessor `context: resource` group (valid inside any
+        # signal's statement list): bare `attributes["k"]` and qualified
+        # `resource.attributes["k"]` both address the resource map
+        if segs[0] == "resource":
+            segs = segs[1:]
+            if not segs:
+                raise OttlError("bare 'resource' is not a value")
+        if segs and segs[0] == "attributes":
+            return ("resource", *segs[1:])
+        raise OttlError(
+            f"unsupported OTTL path {'.'.join(segs)!r} in context 'resource'"
+        )
     if segs[0] == context:
         segs = segs[1:]
         if not segs:
@@ -358,12 +372,15 @@ def extract_program(
                             f"{sorted(unknown)} — refusing to silently ignore them"
                         )
                     context = entry.get("context", default_ctx)
-                    if context != default_ctx:
+                    # `resource` groups are valid inside ANY signal's
+                    # statement list (the transformprocessor's shared
+                    # resource context); anything else must match the signal
+                    if context not in (default_ctx, "resource"):
                         raise OttlError(
                             f"processor {pid!r}: unsupported statement context "
                             f"{context!r} for {signal} (only {default_ctx!r} "
-                            "compiles; refusing to misroute statements into "
-                            "the wrong columns)"
+                            "or 'resource' compiles; refusing to misroute "
+                            "statements into the wrong columns)"
                         )
                     if "statements" not in entry:
                         raise OttlError(
@@ -374,15 +391,16 @@ def extract_program(
                     # ANY of its conditions is true — OR them into one gate
                     for c in entry.get("conditions") or []:
                         try:
-                            parsed_c = parse_condition(str(c), default_ctx)
+                            parsed_c = parse_condition(str(c), context)
                         except OttlError as e:
                             raise OttlError(f"processor {pid!r}: {e}") from None
                         gate = parsed_c if gate is None else ("or", gate, parsed_c)
                 else:
+                    context = default_ctx
                     stmts = [entry]
                 for s in stmts:
                     try:
-                        stmt = parse_statement(str(s), default_ctx)
+                        stmt = parse_statement(str(s), context)
                     except OttlError as e:
                         raise OttlError(f"processor {pid!r}: {e}") from None
                     if gate is not None:

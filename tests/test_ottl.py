@@ -340,13 +340,16 @@ def test_group_conditions_are_or_combined(spark):
     assert rows[1] == {"hit": "x"} and rows[2] == {"hit": "y"} and rows[3] == {}
 
 
-def test_non_log_context_rejected():
-    with pytest.raises(ottl.OttlError, match="unsupported statement context"):
-        ottl.extract_program(
-            [("transform/t", "transform", {
-                "log_statements": [{"context": "resource", "statements": ['set(attributes["k"], "v")']}]
-            })]
-        )
+def test_mismatched_context_rejected():
+    # r5: `resource` groups compile in any signal (tests/test_ottl_contexts);
+    # contexts that belong to a DIFFERENT signal (or don't exist) still raise
+    for bad in ("span", "spanevent"):
+        with pytest.raises(ottl.OttlError, match="unsupported statement context"):
+            ottl.extract_program(
+                [("transform/t", "transform", {
+                    "log_statements": [{"context": bad, "statements": ['set(attributes["k"], "v")']}]
+                })]
+            )
 
 
 def test_group_without_statements_rejected():

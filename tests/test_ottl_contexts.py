@@ -192,6 +192,31 @@ service:
                 signal="traces",
             )
 
+    def test_resource_context_group(self, spark):
+        # a `context: resource` group is valid inside any signal's statement
+        # list; bare `attributes` and qualified `resource.attributes` both
+        # address the resource map
+        out = ottl.compile_chain(
+            _span_frame(spark),
+            _chain({"trace_statements": [{
+                "context": "resource",
+                "statements": [
+                    'set(attributes["collector"], "spark")',
+                    'delete_matching_keys(resource.attributes, "^env$")',
+                ],
+            }]}),
+            signal="traces",
+        )
+        r = _one(out)["resource"]
+        assert r["collector"] == "spark" and "env" not in r
+        assert r["cicd.pipeline.name"] == "pipe-1"
+        # span columns untouched
+        assert _one(out)["attrs"] == {"env": "prod", "internal.debug": "x"}
+
+    def test_resource_context_bad_path_rejected(self, spark):
+        with pytest.raises(OttlError):
+            ottl.parse_statement('set(name, "x")', context="resource")
+
     def test_log_only_processor_is_noop_in_traces(self, spark):
         # a log_statements-only transform contributes nothing to a traces
         # pipeline — same as the collector's per-signal processor instances

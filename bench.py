@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "sim4_ivf_kmeans_topk",
     "pl8_token_packing",
     "ts7_rare_word_stats",
+    "dd8_semantic_dedup",
+    "pl9_source_mixing",
 ]
 
 

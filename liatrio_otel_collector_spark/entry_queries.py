@@ -1026,6 +1026,44 @@ SELECT query_id, cand_id, cosine, rank FROM (
     )
 )
 
+# ---------------------------------------------------------------------------
+# r5: dd8 — semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster
+# the embeddings (the sim4 learned centroids, unrolled identically in the
+# oracle), then label a vector a duplicate when an earlier same-cell vector
+# sits within the cosine threshold.  Pair work happens only inside a cell —
+# the clustering is what makes embedding dedup tractable at 10^12 vectors —
+# and the rep cap bounds per-cell cost to O(m·R) (dedup.MAX_CELL_REPS).
+# ---------------------------------------------------------------------------
+
+_q(
+    "dd8_semantic_dedup",
+    f"""
+WITH b0 AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+), cents0 AS (
+  SELECT CAST(vec_id / {SIM.IVF_CENTROID_STRIDE} AS INT) AS cell, q AS qc
+  FROM b0 WHERE vec_id IN ({_IVF_IDS})
+), asg0 AS ({_ivf_assign_sql("cents0")}
+), cents1 AS ({_ivf_mean_sql("asg0")}
+), asg1 AS ({_ivf_assign_sql("cents1")}
+), cents2 AS ({_ivf_mean_sql("asg1")}
+), assigned AS ({_ivf_assign_sql("cents2")}
+), reps AS (
+  SELECT cell, vec_id AS rep_id, q AS qa FROM (
+    SELECT cell, vec_id, q,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+    FROM assigned
+  ) WHERE rk <= {DD.MAX_CELL_REPS}
+), pairs AS (
+  SELECT b.vec_id, b.cell, r.rep_id, r.qa, b.q AS qb
+  FROM assigned b JOIN reps r ON b.cell = r.cell AND r.rep_id < b.vec_id
+)
+SELECT vec_id, cell, min(rep_id) AS dup_of
+FROM pairs WHERE {_COSINE_SQL} >= {DD.SEMANTIC_DUP_THRESHOLD}
+GROUP BY vec_id, cell
+""",
+)(lambda spark, sf: DD.semantic_dedup(load_tables(spark, sf)["embeddings"]))
+
 _q(
     "ts1_token_count",
     """
@@ -2958,6 +2996,60 @@ FROM t GROUP BY 1, 2
 )(_pl8)
 
 # ---------------------------------------------------------------------------
+# r5: pl9 — source-mixing weights (training-data curation): per-source token
+# shares and the uniform-target oversampling weight (weight = corpus_share /
+# source_share), the static data-mixture computation behind DoReMi-style
+# reweighting.  Two aggregations: a full groupBy over the corpus, then
+# whole-frame window totals over the ALREADY-AGGREGATED rows only — the
+# unpartitioned window touches one row per source (20 here, thousands at
+# 100 TB), never the corpus.  Integer-exact (floor-permille) on both sides.
+# ---------------------------------------------------------------------------
+
+
+def _pl9(spark, sf):
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf)["documents"]
+    tok = F.size(F.split(F.col("text"), " "))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).cast("bigint").alias("tok_total"),
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn("corpus_tok", F.sum("tok_total").over(w).cast("bigint"))
+        .withColumn("n_sources", F.count(F.lit(1)).over(w))
+        .select(
+            "source",
+            "n_docs",
+            "tok_total",
+            F.floor(1000 * F.col("tok_total") / F.col("corpus_tok"))
+            .cast("bigint")
+            .alias("share_permille"),
+            F.floor(1000 * F.col("corpus_tok") / (F.col("n_sources") * F.col("tok_total")))
+            .cast("bigint")
+            .alias("weight_x1000"),
+        )
+    )
+
+
+_q(
+    "pl9_source_mixing",
+    """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, tok_total,
+       CAST(floor(1000 * tok_total / t.corpus_tok) AS BIGINT) AS share_permille,
+       CAST(floor(1000 * t.corpus_tok / (t.n_sources * tok_total)) AS BIGINT) AS weight_x1000
+FROM per, (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok,
+                  count(*) AS n_sources FROM per) t
+""",
+)(_pl9)
+
+# ---------------------------------------------------------------------------
 # r5: ts7 — corpus-statistics quality signal: rare-word ratio per document
 # from a two-pass unigram model (global word frequencies, then a keyed join
 # back).  Integer-exact (counts and a floor-permille) so both engines hash-
@@ -3004,13 +3096,13 @@ FROM words JOIN freq USING (w) GROUP BY doc_id
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
 # order.  Round-5 rotation: the 32 queries whose newest driver row is r3 come
-# back in-window, the 6 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7) get first
-# grades, and 12 repeats carry over from the r4 window (7 flagship rows, the
-# 3 r4-new rows for a second consecutive grade, plus dd7/pl7 — the heaviest
-# plan and the r4 bench watch item; pl2/pl4/dd1 rotated out to make the new
-# slots, their freshness held by green r4 rows).  The r4 ∪ r5 windows cover
-# ALL 88 queries, so after this round every query's newest driver row is ≤1
-# round old — the verdict's freshness invariant.  Rotated-out rows keep
+# back in-window, the 8 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7/dd8/pl9) get
+# first grades, and 10 repeats carry over from the r4 window (5 flagship
+# rows, the 3 r4-new rows for a second consecutive grade, plus dd7/pl7 — the
+# heaviest plan and the r4 bench watch item; pl2/pl4/dd1/pl3/sim1 rotated
+# out to make the new slots, their freshness held by green r4 rows).  The
+# r4 ∪ r5 windows cover ALL 90 queries, so after this round every query's
+# newest driver row is ≤1 round old.  Rotated-out rows keep
 # their keys, oracles, and the full-set local parity gate
 # (tests/test_oracle_parity.py) — only dict ORDER moves.
 # ---------------------------------------------------------------------------
@@ -3056,6 +3148,8 @@ _DRIVER_WINDOW = [
     "sim4_ivf_kmeans_topk",
     "pl8_token_packing",
     "ts7_rare_word_stats",
+    "dd8_semantic_dedup",
+    "pl9_source_mixing",
     # r4-new rows kept for a second consecutive driver grade
     "mm1_multimodal_features",
     "gk2_grok_apache_log",
@@ -3063,16 +3157,14 @@ _DRIVER_WINDOW = [
     # heaviest plan + r4 bench watch item
     "dd7_dup_clusters",
     "pl7_token_bigrams",
-    # flagship rows kept in-window for continuous re-grading (pl2/pl4/dd1
-    # rotate out to make room for the cm4/pl8/ts7 first grades — their
+    # flagship rows kept in-window for continuous re-grading (pl2/pl4/dd1/
+    # pl3/sim1 rotate out to make room for the r5 first grades — their
     # freshness holds via their green r4 rows)
     "pl1_parse_route_aggregate",
-    "pl3_trace_ids",
     "dd2_minhash_near_dups",
     "dd6_contamination_scan",
     "a12_deployment_count",
     "j1_broadcast_enrich_join",
-    "sim1_brute_force_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

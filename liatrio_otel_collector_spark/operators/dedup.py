@@ -580,3 +580,66 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             f"rounds (diameter > 2^{max_iters}); refusing to return partial labels"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup (Abbas et al. 2023,
+# arXiv:2303.09540): k-means-cluster the embeddings, then call a vector a
+# duplicate when a sufficiently-cosine-similar vector exists in the same
+# cluster.  Clustering is what makes this tractable at 10^12 vectors: pair
+# comparison happens only WITHIN a cell, never across the corpus.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DUP_THRESHOLD = 0.18  # matches dd5's near-dup bar on these embeddings
+# Pair-cost bound: duplicates are detected against the first MAX_CELL_REPS
+# members of a cell (by vec_id), so per-cell work is O(m·R), never O(m²).
+# In production k scales with N (cells stay roughly constant-sized) and the
+# cap does not bind; it is the loud guard against a degenerate clustering
+# collapsing into one giant cell.  Sized far above observed cell widths at
+# test SF (≤75 at sf0.01, ≤~250 at sf0.1) so the oracle and the operator
+# agree bit-for-bit while it is a no-op.
+MAX_CELL_REPS = 1024
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+    centroids: DataFrame | None = None,
+    max_reps: int = MAX_CELL_REPS,
+) -> DataFrame:
+    """(vec_id, cell, dup_of): every vector that has an EARLIER (smaller
+    vec_id) same-cell vector with cosine >= threshold, labeled with the
+    smallest such earlier id.  Survivors of the dedup are exactly the
+    vectors absent from this frame — the deterministic analog of
+    SemDeDup's keep-one-per-similar-group rule.
+
+    Plan shape: learned-centroid assignment (broadcast N×K — the sim4
+    machinery), a row_number window per cell for the rep cap, then ONE
+    equi-join on cell between the full assignment and the capped rep side.
+    The join shuffles on cell; cells are numerous and bounded at scale, so
+    no skew pathology, and cosine runs only on same-cell pairs."""
+    from .similarity import _DOT, _NORM, ivf_assign, ivf_kmeans_centroids
+
+    cents = ivf_kmeans_centroids(embeddings) if centroids is None else centroids
+    assigned = ivf_assign(embeddings, cents)  # (vec_id, q, cell)
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    reps = (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_reps)
+        .select(F.col("cell"), F.col("vec_id").alias("rep_id"), F.col("q").alias("qa"))
+    )
+    pairs = (
+        assigned.select("cell", "vec_id", F.col("q").alias("qb"))
+        .join(reps, "cell")
+        .filter(F.col("rep_id") < F.col("vec_id"))
+    )
+    cos = F.round(
+        F.expr(_DOT) / F.sqrt(F.expr(_NORM.format(c="qa")) * F.expr(_NORM.format(c="qb"))),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id", "cell")
+        .agg(F.min("rep_id").alias("dup_of"))
+    )

@@ -230,3 +230,45 @@ def test_contamination_probe_cap_enforced(spark, monkeypatch):
     monkeypatch.setattr(_dd, "MAX_PROBES", 3)
     with _pytest.raises(ValueError, match="MAX_PROBES"):
         _dd.contamination_scan(docs, every_n=1)
+
+
+def test_semantic_dedup_finds_exact_and_respects_rep_cap(spark):
+    """Semantic dedup on a hand-built embedding set: vec 5 duplicates vec 0
+    (identical vector → cosine 1.0) and must be labeled dup_of=0; vec 7 is
+    near-orthogonal to everything and must survive.  With max_reps=1 only
+    the cell's first member can anchor duplicates, so a dup of a LATER
+    member disappears — the O(m·R) cap is behavioral, not a comment."""
+    from liatrio_otel_collector_spark.operators.dedup import semantic_dedup
+
+    dim = 64
+
+    def vec(*hot):
+        v = [0.001] * dim
+        for i, x in hot:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec((0, 1.0))),
+        (5, vec((0, 1.0))),          # exact dup of 0
+        (6, vec((0, 0.9), (1, 0.1))),  # near dup of 0
+        (7, vec((40, -1.0))),        # orthogonal survivor
+        (9, vec((40, -1.0))),        # exact dup of 7
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # one centroid ⇒ one cell: the pair logic is what's under test
+    cents = spark.createDataFrame(
+        [(0, [0] * dim)], "cell int, qc array<bigint>"
+    )
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(df, threshold=0.5, centroids=cents).collect()
+    }
+    assert out == {5: 0, 6: 0, 9: 7}
+    capped = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(
+            df, threshold=0.5, centroids=cents, max_reps=1
+        ).collect()
+    }
+    assert capped == {5: 0, 6: 0}  # 9's anchor (7) is beyond the rep cap

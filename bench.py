@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "ts7_rare_word_stats",
     "dd8_semantic_dedup",
     "pl9_source_mixing",
+    "pl10_source_downsample",
+    "ts8_length_quantiles",
 ]
 
 

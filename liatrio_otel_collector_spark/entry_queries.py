@@ -3092,17 +3092,95 @@ FROM words JOIN freq USING (w) GROUP BY doc_id
 )(_ts7)
 
 # ---------------------------------------------------------------------------
+# r5: pl10 — deterministic per-source downsampling (the apply step behind
+# pl9's mixing weights): keep a document iff the first 32 bits of
+# md5(doc_id) fall under a per-source threshold floor(cap·2^32 / n_source).
+# Expected kept count per source is min(cap, n) with no per-source sort or
+# rank — one tiny groupBy for counts, broadcast back, then a stateless
+# hash gate that scales to any corpus (the threshold division keeps every
+# intermediate ≤ cap·2^32, overflow-safe even at 10^12 docs/source, where
+# h32·n would overflow int64).  Same md5/conv arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+_PL10_CAP = 16
+
+
+def _pl10(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    thr = F.floor(F.lit(_PL10_CAP) * F.lit(1 << 32) / F.col("n_src")).cast("bigint")
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        d.join(F.broadcast(per.withColumn("thr", thr)), "source")
+        .withColumn("h32", h32)
+        .filter(F.col("h32") < F.col("thr"))
+        .select("doc_id", "source", "h32")
+    )
+
+
+_q(
+    "pl10_source_downsample",
+    f"""
+WITH per AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY 1
+), thr AS (
+  SELECT source, CAST(floor({_PL10_CAP} * 4294967296.0 / n_src) AS BIGINT) AS thr
+  FROM per
+)
+SELECT doc_id, d.source,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+FROM documents d JOIN thr USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr
+""",
+)(_pl10)
+
+# ---------------------------------------------------------------------------
+# r5: ts8 — per-source document-length quantiles (curation diagnostics: the
+# length distribution drives truncation budgets and the Gopher length
+# gates).  Exact percentiles via Spark's `percentile` — a single shuffle on
+# source with partial aggregation; the per-group state is the sorted value
+# multiset, bounded by docs-per-source, and at 100 TB the same statement
+# swaps to `percentile_approx` (t-digest, constant state) with no plan
+# change.  DuckDB's quantile_cont uses the identical linear interpolation
+# (verified bit-for-bit on the float repr).
+# ---------------------------------------------------------------------------
+
+
+def _ts8(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.percentile(F.col("n_chars"), F.lit(p)).alias(name) for name, p in qs.items()
+    ]
+    return d.groupBy("source").agg(*aggs)
+
+
+_q(
+    "ts8_length_quantiles",
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.9)  AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents GROUP BY 1
+""",
+)(_ts8)
+
+# ---------------------------------------------------------------------------
 # Driver grading window (established r3; rotated per VERDICT r4 item 1).
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
 # order.  Round-5 rotation: the 32 queries whose newest driver row is r3 come
-# back in-window, the 8 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7/dd8/pl9) get
-# first grades, and 10 repeats carry over from the r4 window (5 flagship
-# rows, the 3 r4-new rows for a second consecutive grade, plus dd7/pl7 — the
-# heaviest plan and the r4 bench watch item; pl2/pl4/dd1/pl3/sim1 rotated
-# out to make the new slots, their freshness held by green r4 rows).  The
-# r4 ∪ r5 windows cover ALL 90 queries, so after this round every query's
-# newest driver row is ≤1 round old.  Rotated-out rows keep
+# back in-window, the 10 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7/dd8/pl9/
+# pl10/ts8) get first grades, and 8 repeats carry over from the r4 window
+# (3 flagship rows, the 3 r4-new rows for a second consecutive grade, plus
+# dd7/pl7 — the heaviest plan and the r4 bench watch item; pl2/pl4/dd1/pl3/
+# sim1/a12/j1 rotated out to make the new slots, their freshness held by
+# green r4 rows).  The r4 ∪ r5 windows cover ALL 92 queries, so after this
+# round every query's newest driver row is ≤1 round old.  Rotated-out rows keep
 # their keys, oracles, and the full-set local parity gate
 # (tests/test_oracle_parity.py) — only dict ORDER moves.
 # ---------------------------------------------------------------------------
@@ -3150,6 +3228,8 @@ _DRIVER_WINDOW = [
     "ts7_rare_word_stats",
     "dd8_semantic_dedup",
     "pl9_source_mixing",
+    "pl10_source_downsample",
+    "ts8_length_quantiles",
     # r4-new rows kept for a second consecutive driver grade
     "mm1_multimodal_features",
     "gk2_grok_apache_log",
@@ -3158,13 +3238,11 @@ _DRIVER_WINDOW = [
     "dd7_dup_clusters",
     "pl7_token_bigrams",
     # flagship rows kept in-window for continuous re-grading (pl2/pl4/dd1/
-    # pl3/sim1 rotate out to make room for the r5 first grades — their
-    # freshness holds via their green r4 rows)
+    # pl3/sim1/a12/j1 rotate out to make room for the r5 first grades —
+    # their freshness holds via their green r4 rows)
     "pl1_parse_route_aggregate",
     "dd2_minhash_near_dups",
     "dd6_contamination_scan",
-    "a12_deployment_count",
-    "j1_broadcast_enrich_join",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

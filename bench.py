@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "pl9_source_mixing",
     "pl10_source_downsample",
     "ts8_length_quantiles",
+    "mm2_frame_sample",
 ]
 
 

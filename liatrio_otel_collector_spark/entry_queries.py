@@ -2483,6 +2483,58 @@ FROM m
 )(_mm1)
 
 # ---------------------------------------------------------------------------
+# r5: mm2 — frame sampling as a HARD driver row (the brief's frame-sample
+# leg; mm1 graded feature-extract).  operators/multimodal.frame_sample_plan
+# explodes a deterministic frame-timestamp grid per video — the 100 TB shape
+# for frame work is Catalyst sequence+explode of timestamps, with the actual
+# codec behind the mapInPandas seam that mm1 already grades.  The stubbed
+# per-frame "decode" here is a deterministic fingerprint (the code point of
+# the payload byte the frame index selects), so DuckDB restates it exactly:
+# payload = repeat(16-hex-char sha prefix, k) and both grids are inclusive
+# 0..duration_ms-1 step EVERY.
+# ---------------------------------------------------------------------------
+
+_MM2_N = 3000
+_MM2_EVERY = 750  # ms between sampled frames
+
+
+def _mm2(spark, sf):
+    from .operators.multimodal import frame_sample_plan
+
+    media = synthetic_media(spark, _MM2_N)
+    frames = frame_sample_plan(media, every_ms=_MM2_EVERY, carry=("payload",))
+    frame_no = F.floor(F.col("frame_ts_ms") / _MM2_EVERY)
+    pay = F.col("payload").cast("string")
+    idx = (frame_no % F.length(pay)).cast("int")
+    return frames.select(
+        "media_id",
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+        F.ascii(F.substring(pay, idx + 1, F.lit(1))).cast("bigint").alias("frame_fp"),
+    )
+
+
+_q(
+    "mm2_frame_sample",
+    f"""
+WITH m AS (
+  SELECT id, CAST(1000 + id % 60000 AS BIGINT) AS duration_ms,
+         repeat(substring(sha256(CAST(id AS VARCHAR)), 1, 16),
+                CAST(1 + id % 8 AS INT)) AS payload
+  FROM range({_MM2_N}) t(id) WHERE id % 3 = 2
+), f AS (
+  SELECT id, payload,
+         unnest(generate_series(0, duration_ms - 1, {_MM2_EVERY})) AS frame_ts_ms
+  FROM m
+)
+SELECT CAST(id AS VARCHAR) AS media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+       CAST(ascii(substring(payload,
+            CAST(1 + (frame_ts_ms // {_MM2_EVERY}) % length(payload) AS INT), 1))
+            AS BIGINT) AS frame_fp
+FROM f
+""",
+)(_mm2)
+
+# ---------------------------------------------------------------------------
 # r4: gk2 — COMBINEDAPACHELOG-class grok parse (VERDICT r3 item 7): the
 # composite patterns real log pipelines hit first (HTTPDATE, QS, URIPATH,
 # USER) plus the bare non-capturing %{NAME} form, over an Apache-style
@@ -3174,13 +3226,14 @@ FROM documents GROUP BY 1
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
 # order.  Round-5 rotation: the 32 queries whose newest driver row is r3 come
-# back in-window, the 10 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7/dd8/pl9/
-# pl10/ts8) get first grades, and 8 repeats carry over from the r4 window
-# (3 flagship rows, the 3 r4-new rows for a second consecutive grade, plus
-# dd7/pl7 — the heaviest plan and the r4 bench watch item; pl2/pl4/dd1/pl3/
-# sim1/a12/j1 rotated out to make the new slots, their freshness held by
-# green r4 rows).  The r4 ∪ r5 windows cover ALL 92 queries, so after this
-# round every query's newest driver row is ≤1 round old.  Rotated-out rows keep
+# back in-window, the 11 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7/dd8/pl9/
+# pl10/ts8/mm2) get first grades, and 7 repeats carry over from the r4
+# window (2 flagship rows, the 3 r4-new rows for a second consecutive grade,
+# plus dd7/pl7 — the heaviest plan and the r4 bench watch item; pl2/pl4/dd1/
+# pl3/sim1/a12/j1/dd6 rotated out to make the new slots, their freshness
+# held by green r4 rows).  The r4 ∪ r5 windows cover ALL 93 queries, so
+# after this round every query's newest driver row is ≤1 round old.
+# Rotated-out rows keep
 # their keys, oracles, and the full-set local parity gate
 # (tests/test_oracle_parity.py) — only dict ORDER moves.
 # ---------------------------------------------------------------------------
@@ -3230,6 +3283,7 @@ _DRIVER_WINDOW = [
     "pl9_source_mixing",
     "pl10_source_downsample",
     "ts8_length_quantiles",
+    "mm2_frame_sample",
     # r4-new rows kept for a second consecutive driver grade
     "mm1_multimodal_features",
     "gk2_grok_apache_log",
@@ -3238,11 +3292,10 @@ _DRIVER_WINDOW = [
     "dd7_dup_clusters",
     "pl7_token_bigrams",
     # flagship rows kept in-window for continuous re-grading (pl2/pl4/dd1/
-    # pl3/sim1/a12/j1 rotate out to make room for the r5 first grades —
+    # pl3/sim1/a12/j1/dd6 rotate out to make room for the r5 first grades —
     # their freshness holds via their green r4 rows)
     "pl1_parse_route_aggregate",
     "dd2_minhash_near_dups",
-    "dd6_contamination_scan",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -183,12 +183,18 @@ def fake_decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
-def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Frame-sampling plumbing: explode a deterministic frame-timestamp grid
-    per video row (the decode of each frame is the stubbed step)."""
+    per video row (the decode of each frame is the stubbed step).  ``carry``
+    names extra columns to keep alongside the grid (e.g. the payload for a
+    per-frame decode) — the explode stays narrow by default so the grid can
+    be built without dragging the binary column through the shuffle."""
     vids = media.filter(F.col("kind") == "video")
     return vids.select(
         "media_id",
+        *carry,
         F.explode(
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),

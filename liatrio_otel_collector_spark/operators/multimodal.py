@@ -189,8 +189,8 @@ def frame_sample_plan(
     """Frame-sampling plumbing: explode a deterministic frame-timestamp grid
     per video row (the decode of each frame is the stubbed step).  ``carry``
     names extra columns to keep alongside the grid (e.g. the payload for a
-    per-frame decode) — the explode stays narrow by default so the grid can
-    be built without dragging the binary column through the shuffle."""
+    per-frame decode) — by default the grid stays narrow, because every
+    carried column is duplicated once per exploded frame row."""
     vids = media.filter(F.col("kind") == "video")
     return vids.select(
         "media_id",

@@ -235,3 +235,26 @@ def test_ts7_freq_join_not_nested_loop(spark):
     plan = _plan(QUERIES["ts7_rare_word_stats"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan or "join" in plan
+
+
+def test_pl10_count_join_is_broadcast(spark):
+    """pl10 downsampling: the per-source count frame (one row per source)
+    must broadcast back onto the corpus — a sort-merge join here would
+    shuffle-sort the full documents table just to attach 20 thresholds —
+    and the hash gate itself must stay a scan-side Filter, not a join."""
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["pl10_source_downsample"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mm2_frame_grid_no_join(spark):
+    """mm2 frame sampling: the per-video timestamp grid is a generated
+    explode over carried columns — no join, no shuffle anywhere in the
+    plan (the stubbed decode is row-local)."""
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["mm2_frame_sample"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan

@@ -207,6 +207,43 @@ def main() -> None:
         _sh.rmtree(sdir, ignore_errors=True)
         return leg
 
+    # --- Iceberg leg (VERDICT r4 item 2): the north star names Iceberg
+    # sinks.  When the vendored runtime jar is on the classpath (see
+    # scripts/fetch_iceberg_jar.sh + session.py auto-wiring), run the SAME
+    # e2e fan-out with sink_format="iceberg" and report real throughput; in
+    # a jarless sandbox emit an explicit availability record instead of
+    # silently omitting the leg.
+    def _iceberg_leg() -> dict:
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception:
+            return {
+                "available": False,
+                "reason": "iceberg runtime jar absent; no network route in "
+                "this sandbox — scripts/fetch_iceberg_jar.sh vendors it on "
+                "a connected host and session.py auto-wires dist/*.jar",
+            }
+        from liatrio_otel_collector_spark.plans.pipeline import PipelineConfig
+
+        idir = _tf.mkdtemp(prefix="bench_iceberg_", dir=os.environ.get("TMPDIR", "/tmp"))
+        cfg = PipelineConfig(output_dir=os.path.join(idir, "sinks"), sink_format="iceberg")
+        ice_runs: list[float] = []
+        for _ in range(2):
+            _gc()
+            t0 = time.time()
+            run_pipeline(spark, e2e_rows, cfg)
+            ice_runs.append(round(time.time() - t0, 3))
+        _sh.rmtree(idir, ignore_errors=True)
+        return {
+            "available": True,
+            "runs_sec": ice_runs,
+            "sequences_per_sec": round(e2e_rows / min(ice_runs), 1),
+        }
+
+    iceberg_e2e = _iceberg_leg()
+
     # steady-state shape: 4 micro-batches (2.5M rows each at the 10M input —
     # auto fan-out picks persist) …
     streaming = _stream_leg(4)
@@ -230,6 +267,7 @@ def main() -> None:
         "skew_slowdown": round(min(skew_runs) / e2e, 3),
         "streaming": streaming,
         "streaming_catchup": streaming_catchup,
+        "iceberg_e2e": iceberg_e2e,
         "scratch": os.environ.get("TMPDIR", "/tmp"),
         "host_spin_ms": host_spin_ms,
         "host_spin_ms_post": _spin(),

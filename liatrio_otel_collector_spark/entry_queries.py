@@ -3158,18 +3158,10 @@ _PL10_CAP = 16
 
 
 def _pl10(spark, sf):
+    from .operators.sampling import source_downsample
+
     d = load_tables(spark, sf)["documents"]
-    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    thr = F.floor(F.lit(_PL10_CAP) * F.lit(1 << 32) / F.col("n_src")).cast("bigint")
-    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    return (
-        d.join(F.broadcast(per.withColumn("thr", thr)), "source")
-        .withColumn("h32", h32)
-        .filter(F.col("h32") < F.col("thr"))
-        .select("doc_id", "source", "h32")
-    )
+    return source_downsample(d, _PL10_CAP).select("doc_id", "source", "h32")
 
 
 _q(

@@ -72,11 +72,19 @@ def main() -> None:
     # is pinned too — run_pipeline's staged fan-out goes through tempfile, and
     # an inherited TMPDIR pointing at disk silently moves the hottest IO of
     # the whole job off tmpfs (the r1 driver-vs-local bench gap).
+    # UNIQUE per invocation: a fixed /dev/shm/spark-bench path let two
+    # concurrent bench runs (e.g. the round driver's alongside a manual one)
+    # share shuffle/staging scratch — the first to finish rmtree'd the other's
+    # live blockmgr + in-flight sink files mid-write (observed: chmod/Mkdirs
+    # "No such file or directory" task failures killing the streaming leg).
+    own_scratch = None
     if os.path.isdir("/dev/shm"):
-        ram = "/dev/shm/spark-bench"
-        os.makedirs(ram, exist_ok=True)
-        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", ram)
-        os.environ["TMPDIR"] = os.environ.get("SPARK_GRAFT_LOCAL_DIR", ram)
+        if "SPARK_GRAFT_LOCAL_DIR" not in os.environ:
+            import tempfile as _tfmod
+
+            own_scratch = _tfmod.mkdtemp(prefix="spark-bench-", dir="/dev/shm")
+            os.environ["SPARK_GRAFT_LOCAL_DIR"] = own_scratch
+        os.environ["TMPDIR"] = os.environ["SPARK_GRAFT_LOCAL_DIR"]
 
     # host-speed calibration: a fixed single-core Python spin, measured
     # before any Spark work.  This box is shared — steal time varies 0-30%
@@ -273,9 +281,10 @@ def main() -> None:
         "host_spin_ms_post": _spin(),
     }
     spark.stop()
-    import shutil
+    if own_scratch:
+        import shutil
 
-    shutil.rmtree("/dev/shm/spark-bench", ignore_errors=True)
+        shutil.rmtree(own_scratch, ignore_errors=True)
     print(json.dumps(out))
 
 

@@ -3296,3 +3296,118 @@ assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUE
 _ORDER = _DRIVER_WINDOW + [k for k in QUERIES if k not in _DRIVER_WINDOW]
 QUERIES = {k: QUERIES[k] for k in _ORDER}
 ORACLES = {k: ORACLES[k] for k in _ORDER if k in ORACLES}
+
+# ---------------------------------------------------------------------------
+# r5 (late session): two more training-data curation ops.  Registered AFTER
+# the window reorder so the r5 driver window (first 50) is untouched; both
+# enter the local parity gate immediately and rotate into the r6 window.
+#
+# dd9 — duplicated-span statistics at chunk granularity ("Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022, simplified
+# from suffix-array substrings to non-overlapping 8-word chunks, the
+# shuffle-friendly form): a chunk is duplicated iff its exact text occurs
+# ≥2 times corpus-wide.  The corpus-frequency join ships 32-hex md5 digests,
+# never the chunk text — at 100 TB the shuffle carries ~45 bytes/chunk and
+# the per-key state is one int64, so the same plan holds at any scale.
+# ---------------------------------------------------------------------------
+
+_DD9_W = 8  # words per chunk
+
+
+def _dd9_chunks(d: DataFrame) -> DataFrame:
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_chunks = F.floor(F.size(ws) / _DD9_W).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(F.array_join(F.slice(ws, i * _DD9_W + 1, _DD9_W), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(chunks).alias("h"))
+
+
+def _dd9(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    c = _dd9_chunks(d)
+    freq = c.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        c.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint").alias("dup_chunks"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.floor(1000 * F.col("dup_chunks") / F.col("n_chunks")).cast("bigint"),
+        )
+    )
+
+
+_q(
+    "dd9_dup_chunk_stats",
+    """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents
+), chunks AS (
+  SELECT doc_id, md5(array_to_string(list_slice(ws, 8*i+1, 8*i+8), ' ')) AS h
+  FROM words, unnest(range(0, CAST(floor(len(ws)/8.0) AS BIGINT))) AS t(i)
+), freq AS (SELECT h, count(*) AS c FROM chunks GROUP BY h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(floor(1000.0 * sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS dup_permille
+FROM chunks JOIN freq USING (h) GROUP BY doc_id
+""",
+)(_dd9)
+
+# ---------------------------------------------------------------------------
+# ts9 — unigram-surprisal quality proxy (the Catalyst-friendly stand-in for
+# CCNet's LM-perplexity filter): score each document by the mean corpus
+# surprisal of its words.  Surprisal is computed in INTEGER log2 —
+# bitlen(total) - bitlen(count), where bitlen(x) = length(bin(x)) — so both
+# engines produce bit-identical sums with no transcendental-rounding risk
+# (ln/log2 on doubles can differ by 1 ulp between libm implementations and
+# flip a floor()).  Two shuffles total: word-frequency groupBy, then the
+# doc re-aggregation; the corpus total joins in as a broadcast 1-row frame.
+# ---------------------------------------------------------------------------
+
+
+def _ts9(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    words = d.select(
+        "doc_id", F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = freq.crossJoin(F.broadcast(total)).select(
+        "w",
+        (F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("c")))).cast("bigint").alias("s"),
+    )
+    return (
+        words.join(scored, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.floor(1000 * F.sum("s") / F.count(F.lit(1))).cast("bigint").alias("surprisal_permille"),
+        )
+    )
+
+
+_q(
+    "ts9_unigram_surprisal",
+    """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+scored AS (
+  SELECT w, CAST(length(bin((SELECT sum(c) FROM freq))) - length(bin(c)) AS BIGINT) AS s
+  FROM freq
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(floor(1000.0 * sum(s) / count(*)) AS BIGINT) AS surprisal_permille
+FROM words JOIN scored USING (w) GROUP BY doc_id
+""",
+)(_ts9)

@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "pl10_source_downsample",
     "ts8_length_quantiles",
     "mm2_frame_sample",
+    # round-5 late additions
+    "dd9_dup_chunk_stats",
+    "ts9_unigram_surprisal",
+    "w6_gap_sessions",
+    "j8_asof_latest_order",
 ]
 
 

@@ -3411,3 +3411,81 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM words JOIN scored USING (w) GROUP BY doc_id
 """,
 )(_ts9)
+
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): gap sessionization and the
+# union+window as-of join.  Registered after the window reorder — both enter
+# the local parity gate now and rotate into the r6 driver window.
+# ---------------------------------------------------------------------------
+
+from .operators.temporal import asof_join, sessionize  # noqa: E402
+
+
+def _w6(spark, sf):
+    e = load_tables(spark, sf)["events"]
+    s = sessionize(e, ("user_id",), "ts", 1800)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ source, UTC session
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min(us).alias("session_start_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max(us) - F.min(us)).cast("bigint").alias("duration_us"),
+    )
+
+
+_q(
+    "w6_gap_sessions",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, us,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), sess AS (
+  SELECT user_id, us,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)
+      AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(us) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_seq
+""",
+)(_w6)
+
+
+def _j8(spark, sf):
+    t = load_tables(spark, sf)
+    joined = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        t["orders"],
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=("o_orderkey", "o_totalprice"),
+        tie_col="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+_q(
+    "j8_asof_latest_order",
+    """
+SELECT e.event_id, e.user_id,
+       o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) o ON true
+""",
+)(_j8)

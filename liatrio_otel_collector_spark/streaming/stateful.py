@@ -209,6 +209,46 @@ def interval_last_stream(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked session-window aggregation: Spark's native
+    ``session_window`` merges events whose inter-arrival gap is under
+    ``gap`` — the streaming twin of ``operators.temporal.sessionize``.
+
+    Boundary fine print: ``session_window`` treats an event arriving at
+    EXACTLY ``gap`` after the previous one as a new session (windows are
+    ``[ts, ts+gap)`` and merge on overlap), while the batch operator keeps
+    it (splits strictly on ``> gap``).  The two agree on every input with
+    no exact-gap adjacent pair — asserted, not assumed, in
+    ``tests/test_stateful_streaming.py``.
+
+    State is one ``(start, end, count)`` per open session per key, aged out
+    by the watermark — bounded at unbounded input.  Append mode emits a
+    session only once it can no longer grow (watermark past its close),
+    which is exactly the training-pipeline contract: emitted sessions are
+    final, replays and stragglers inside the gap fold in before emission.
+    """
+    # watermarks require TIMESTAMP (not NTZ); the session timezone is pinned
+    # UTC (session.py) so the cast is value-preserving
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str = "event_ts",

@@ -379,3 +379,91 @@ def test_interval_last_stream_deterministic_tie(spark, tmp_path):
     out = spark.read.parquet(outdir).collect()
     row = [r for r in out if r["interval_start"].minute == 0][0]
     assert row["last_value"] == 7.0 and row["last_ts"] == tied
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_counts (native session_window, append mode) emits exactly the
+    sessions the batch sessionize operator derives, once the watermark has
+    passed them.  Two availableNow invocations: the sentinel in the first
+    advances the watermark, the second's extra batch flushes the aged-out
+    session state (watermark is applied one batch behind its source rows)."""
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    from liatrio_otel_collector_spark.operators.temporal import sessionize
+    from liatrio_otel_collector_spark.sources.tables import load_tables
+    from liatrio_otel_collector_spark.streaming.stateful import session_counts
+
+    events = load_tables(spark, "/root/testdata/sf0.001")["events"].select("user_id", "ts")
+    gap_s = 1800
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # the two operators diverge only on exact-gap adjacent pairs (see the
+    # session_counts docstring) — assert this input has none
+    w = Window.partitionBy("user_id").orderBy("ts")
+    exact = (
+        events.withColumn("_d", us - F.lag(us).over(w))
+        .filter(F.col("_d") == gap_s * 1_000_000)
+        .count()
+    )
+    assert exact == 0
+
+    indir, outdir, ckpt = (str(tmp_path / n) for n in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+    events.coalesce(1).write.parquet(os.path.join(indir, "b0"))
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    def _sentinel(uid: int, days: int, name: str) -> None:
+        row = [(uid, max_ts + timedelta(days=days))]
+        spark.createDataFrame(row, events.schema).coalesce(1).write.parquet(
+            os.path.join(indir, name)
+        )
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir + "/*")
+        )
+        q = (
+            session_counts(stream, gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _sentinel(999_999, 10, "b1")
+    _run()
+    _sentinel(999_998, 20, "b2")
+    _run()
+
+    got = (
+        spark.read.parquet(outdir)
+        .filter(F.col("user_id") < 999_000)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+            "n_events",
+            (
+                F.unix_micros(F.col("session_end").cast("timestamp")) - gap_s * 1_000_000
+            ).alias("last_us"),
+        )
+    )
+    exp = (
+        sessionize(events, ("user_id",), "ts", gap_s)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(us).alias("start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(us).alias("last_us"),
+        )
+        .select("user_id", "start_us", "n_events", "last_us")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    exp_rows = sorted(map(tuple, exp.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == exp_rows

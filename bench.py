@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "ts9_unigram_surprisal",
     "w6_gap_sessions",
     "j8_asof_latest_order",
+    "ts10_tfidf_topk",
+    "emb1_int8_quant",
+    "pf1_table_profile",
 ]
 
 

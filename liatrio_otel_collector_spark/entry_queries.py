@@ -3489,3 +3489,176 @@ FROM events e LEFT JOIN LATERAL (
 ) o ON true
 """,
 )(_j8)
+
+# ---------------------------------------------------------------------------
+# ts10 — TF-IDF top-k keyword extraction per document.  IDF in the same
+# integer-log2 form as ts9 (bitlen(N) − bitlen(df)) so scores are exact
+# int64 on both engines; rank ties break on the word itself, so the top-3 is
+# fully deterministic.  Two shuffles (doc-term tf, term df) + one window
+# over the already-aggregated tf rows; the corpus doc count broadcasts as a
+# 1-row frame.  The df join is NOT forced broadcast — a Zipf vocabulary at
+# 100 TB exceeds any broadcast budget (same reasoning as ts7).
+# ---------------------------------------------------------------------------
+
+
+def _ts10(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    words = d.select(
+        "doc_id", F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf") * (F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df"))))
+            ).cast("bigint").alias("score"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    rnk = F.row_number().over(
+        _W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "w", "score", "rnk")
+    )
+
+
+_q(
+    "ts10_tfidf_topk",
+    """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT doc_id, w,
+    CAST(tf * (length(bin((SELECT count(*) FROM documents))) - length(bin(df)))
+         AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (w)
+), ranked AS (
+  SELECT doc_id, w, score,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, w, score, rnk FROM ranked WHERE rnk <= 3
+""",
+)(_ts10)
+
+# ---------------------------------------------------------------------------
+# emb1 — symmetric int8 embedding quantization, the storage/ANN prep step
+# (per-vector scale = max|x|, q_i = round-half-up(x_i·127/scale)).  Pure
+# Catalyst higher-order functions, zero Python, no shuffle at all — the map-
+# only shape that runs at parquet-scan speed on 100 TB.  floor(x+0.5) is the
+# rounding on BOTH engines (library round() differs in half-tie mode between
+# engines; floor of identical IEEE doubles cannot).  The result is reported
+# as integer invariants (scale_ppm, L1 mass, position-weighted checksum) —
+# exactly what a downstream loader would verify — rather than a raw int8
+# array, keeping the driver compare scalar.
+# ---------------------------------------------------------------------------
+
+
+def _emb1(spark, sf):
+    e = load_tables(spark, sf)["embeddings"]
+    ma = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    qv = lambda x: F.when(F.col("_ma") == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.floor(x.cast("double") * 127 / F.col("_ma") + 0.5)
+    )
+    return (
+        e.withColumn("_ma", ma)
+        .select(
+            "vec_id",
+            F.floor(F.col("_ma") * 1e6).cast("bigint").alias("scale_ppm"),
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: F.abs(qv(x))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            .cast("bigint")
+            .alias("q_l1"),
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x, i: qv(x) * (i + 1)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            .cast("bigint")
+            .alias("q_checksum"),
+        )
+    )
+
+
+_q(
+    "emb1_int8_quant",
+    """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), q AS (
+  SELECT vec_id, ma,
+    list_transform(embedding, (x, i) -> CASE WHEN ma = 0 THEN 0.0
+      ELSE floor(CAST(x AS DOUBLE) * 127 / ma + 0.5) END) AS qs
+  FROM base
+)
+SELECT vec_id,
+  CAST(floor(ma * 1e6) AS BIGINT) AS scale_ppm,
+  CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS q_l1,
+  CAST(list_sum(list_transform(qs, (x, i) -> x * i)) AS BIGINT) AS q_checksum
+FROM q
+""",
+)(_emb1)
+
+# ---------------------------------------------------------------------------
+# pf1 — table profiling: per-column null count, exact distinct count, and
+# min/max over the numeric lineitem columns, in ONE aggregation pass
+# unpivoted to a row per column.  Every statistic is selection- or
+# integer-valued (no double summation, whose partition-order rounding would
+# differ between engines).  At 100 TB the exact count(distinct) — which
+# Catalyst plans as an Expand (one shuffle lane per column) — swaps to
+# approx_count_distinct (HLL, constant state) with no other plan change;
+# the exact form is kept here because the oracle demands exactness.
+# ---------------------------------------------------------------------------
+
+_PF1_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _pf1(spark, sf):
+    li = load_tables(spark, sf)["lineitem"]
+    aggs = []
+    for c in _PF1_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"nc_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nc_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PF1_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PF1_COLS)}, {stack}) AS (col_name, null_count, n_distinct, min_val, max_val)"
+    )
+
+
+_q(
+    "pf1_table_profile",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  min({c}) AS min_val, max({c}) AS max_val
+FROM lineitem"""
+        for c in _PF1_COLS
+    ),
+)(_pf1)

@@ -258,3 +258,14 @@ def test_mm2_frame_grid_no_join(spark):
     plan = _plan(QUERIES["mm2_frame_sample"](spark, SF))
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_emb1_quantization_is_map_only(spark):
+    # int8 quantization must stay a pure projection: no Exchange, no
+    # aggregation, no Python — parquet-scan speed at 100 TB
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["emb1_int8_quant"](spark, SF))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan

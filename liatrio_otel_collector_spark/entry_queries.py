@@ -3662,3 +3662,41 @@ FROM lineitem"""
         for c in _PF1_COLS
     ),
 )(_pf1)
+
+# ---------------------------------------------------------------------------
+# pl11 — deterministic train/val/test split (operators/sampling.py): hash-
+# bucket assignment (md5 first-32-bits mod 100), summarized per split ×
+# source.  The split itself is a zero-shuffle map expression; only this
+# report aggregates.
+# ---------------------------------------------------------------------------
+
+
+def _pl11(spark, sf):
+    from .operators.sampling import train_val_test_split
+
+    d = load_tables(spark, sf)["documents"]
+    return (
+        train_val_test_split(d)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+_q(
+    "pl11_train_split",
+    """
+WITH s AS (
+  SELECT source, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY 1, 2
+""",
+)(_pl11)

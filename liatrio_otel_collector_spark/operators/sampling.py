@@ -45,3 +45,27 @@ def source_downsample(
         .filter(F.col("h32") < F.col("thr"))
         .drop("n_src", "thr")
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    key: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first 32 md5 bits
+    of the id mod 100.  Stateless and stable across runs, machines, and
+    engine versions — re-running the pipeline on a grown corpus never moves
+    an existing doc between splits (the property random() splits lack, and
+    the reason leakage-free splits hash ids instead of sampling).  Pure
+    map-side expression: no shuffle, composable with any scan."""
+    h32 = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    bucket = h32 % 100
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

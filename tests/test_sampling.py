@@ -50,3 +50,27 @@ def test_expected_count_near_cap(spark):
     assert len(per) == 4
     for r in per:
         assert 0 < r["count"] <= 10 + 16, r
+
+
+def test_train_split_deterministic_and_map_only(spark):
+    from liatrio_otel_collector_spark.operators.sampling import train_val_test_split
+    from liatrio_otel_collector_spark.sources.tables import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    s = train_val_test_split(d)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # assignment is a pure map expression
+
+    # growing the corpus never moves an existing doc between splits
+    full = {r.doc_id: r.split for r in s.select("doc_id", "split").collect()}
+    half = train_val_test_split(d.filter(F.col("doc_id") % 2 == 0))
+    for r in half.select("doc_id", "split").collect():
+        assert full[r.doc_id] == r.split
+
+    # rough proportions (hash-uniform; binomial tolerance at n=500)
+    from collections import Counter
+
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert 0.70 < c["train"] / n < 0.90
+    assert c["val"] / n < 0.20 and c["test"] / n < 0.20

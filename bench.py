@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ts10_tfidf_topk",
     "emb1_int8_quant",
     "pf1_table_profile",
+    "pl11_train_split",
 ]
 
 

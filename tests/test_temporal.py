@@ -72,3 +72,60 @@ def test_asof_join_is_not_a_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # not even a join: one shuffle + window
     assert plan.count("Window") >= 1
+
+
+def _rand_rows(seed: int):
+    """Dense, collision-rich random data: 5 keys, timestamps drawn from only
+    300 distinct seconds so equal-ts ties (left==right, right==right) are
+    common — the edge the window ordering must get right."""
+    import random
+
+    rnd = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    left = [
+        (i, rnd.randrange(5), base + dt.timedelta(seconds=rnd.randrange(300)))
+        for i in range(300)
+    ]
+    right = [
+        (j, rnd.randrange(5), base + dt.timedelta(seconds=rnd.randrange(300)), float(j) * 1.5)
+        for j in range(200)
+    ]
+    return left, right
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    left_rows, right_rows = _rand_rows(42)
+    left = spark.createDataFrame(
+        left_rows, "event_id bigint, k bigint, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        right_rows, "okey bigint, k bigint, rts timestamp_ntz, price double"
+    )
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", value_cols=("okey", "price"), tie_col="okey"
+    )
+    got = {r.event_id: (r.okey, r.price) for r in out.collect()}
+    assert len(got) == len(left_rows)
+    for eid, k, ts in left_rows:
+        cands = [(o, rts, p) for (o, rk, rts, p) in right_rows if rk == k and rts <= ts]
+        exp = max(cands, key=lambda c: (c[1], c[0]))[::2] if cands else (None, None)
+        assert got[eid] == (exp[0], exp[1] if cands else None), (eid, k, ts)
+
+
+def test_sessionize_matches_bruteforce_random(spark):
+    left_rows, _ = _rand_rows(7)
+    df = spark.createDataFrame(left_rows, "event_id bigint, k bigint, ts timestamp_ntz")
+    gap = 20
+    out = sessionize(df, ("k",), "ts", gap)
+    got = {r.event_id: r.session_seq for r in out.collect()}
+
+    by_key: dict = {}
+    for eid, k, ts in sorted(left_rows, key=lambda r: (r[1], r[2], r[0])):
+        by_key.setdefault(k, []).append((eid, ts))
+    for k, rows in by_key.items():
+        seq, prev = 0, None
+        for eid, ts in rows:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                seq += 1
+            prev = ts
+            assert got[eid] == seq, (eid, k, ts)

@@ -3329,14 +3329,23 @@ def _dd9_chunks(d: DataFrame) -> DataFrame:
 
 def _dd9(spark, sf):
     d = load_tables(spark, sf)["documents"]
-    c = _dd9_chunks(d)
-    freq = c.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    # pre-aggregate per (doc, chunk-hash): the exploded frame feeds BOTH the
+    # corpus-frequency branch and the join-back, and with no exchange in
+    # between Catalyst would recompute scan+explode+md5 once per branch.
+    # The (doc_id, h) aggregate inserts an Exchange both branches share
+    # (ReusedExchange in the final plan — asserted in test_plan_shape) so
+    # the corpus is scanned and hashed exactly once.  Within-doc repeats are
+    # preserved through `cnt`.
+    c = _dd9_chunks(d).groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = c.groupBy("h").agg(F.sum("cnt").alias("c"))
     return (
         c.join(freq, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint").alias("dup_chunks"),
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("c") >= 2, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chunks"),
         )
         .withColumn(
             "dup_permille",
@@ -3378,18 +3387,23 @@ def _ts9(spark, sf):
     words = d.select(
         "doc_id", F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
     )
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # per-(doc, word) pre-aggregate: same shared-exchange rationale as dd9 —
+    # one scan+explode feeds both the frequency branch and the join-back
+    w1 = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = w1.groupBy("w").agg(F.sum("cnt").alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
     scored = freq.crossJoin(F.broadcast(total)).select(
         "w",
         (F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("c")))).cast("bigint").alias("s"),
     )
     return (
-        words.join(scored, "w")
+        w1.join(scored, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.floor(1000 * F.sum("s") / F.count(F.lit(1))).cast("bigint").alias("surprisal_permille"),
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.floor(1000 * F.sum(F.col("cnt") * F.col("s")) / F.sum("cnt"))
+            .cast("bigint")
+            .alias("surprisal_permille"),
         )
     )
 
@@ -3507,7 +3521,15 @@ def _ts10(spark, sf):
         "doc_id", F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
     )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # df as sum(1[tf>0]) == count(*) (tf >= 1 always), but it keeps the tf
+    # column alive in this branch: otherwise Catalyst prunes tf from the
+    # (doc_id, w) aggregate here, the two exchanges stop being identical,
+    # and AQE cannot reuse one — the corpus would be scanned and exploded
+    # twice.  With it, the final plan shows a ReusedExchange (asserted in
+    # test_plan_shape) and the scan+explode runs once.
+    dfreq = tf.groupBy("w").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("bigint").alias("df")
+    )
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "w")

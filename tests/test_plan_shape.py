@@ -269,3 +269,16 @@ def test_emb1_quantization_is_map_only(spark):
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
     assert "Python" not in plan
+
+
+def test_shared_explode_exchange_reuse(spark):
+    # dd9/ts9/ts10 consume their exploded frame in two branches (frequency
+    # + join-back); the pre-aggregated form must let AQE reuse the exchange
+    # so the corpus is scanned and exploded exactly ONCE per query
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+
+    for name in ["dd9_dup_chunk_stats", "ts9_unigram_surprisal", "ts10_tfidf_topk"]:
+        df = QUERIES[name](spark, SF)
+        df.collect()  # AQE finalizes reuse at execution
+        plan = _plan(df)
+        assert "ReusedExchange" in plan, name

@@ -282,3 +282,26 @@ def test_shared_explode_exchange_reuse(spark):
         df.collect()  # AQE finalizes reuse at execution
         plan = _plan(df)
         assert "ReusedExchange" in plan, name
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # sweeping invariant over the FULL registry: no plan may contain a
+    # CartesianProduct, and BroadcastNestedLoopJoin is allowed only where
+    # the build side is a 1-row aggregate (ts9/ts10 corpus totals) or a
+    # labeled exact/assignment baseline (sim1 brute force, sim3/sim4 N x K
+    # centroid assignment).  PLANS.md (scripts/plan_audit.py) is the
+    # human-readable evidence behind this gate.
+    from liatrio_otel_collector_spark.entry_queries import QUERIES
+
+    bnlj_ok = {
+        "sim1_brute_force_topk",
+        "sim3_ivf_topk",
+        "sim4_ivf_kmeans_topk",
+        "ts9_unigram_surprisal",
+        "ts10_tfidf_topk",
+    }
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name

@@ -3722,3 +3722,84 @@ SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS s
 FROM s GROUP BY 1, 2
 """,
 )(_pl11)
+
+# ---------------------------------------------------------------------------
+# pl12 — fixed-context chunking: split each document into ceil(n_tok/CTX)
+# training chunks of at most CTX tokens (the sequence-assembly step between
+# tokenization and pl8's budget packing).  Catalyst sequence+explode — the
+# chunk grid needs no Python and no shuffle; row count grows by the chunk
+# factor only.
+# ---------------------------------------------------------------------------
+
+_PL12_CTX = 32
+
+
+def _pl12(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_tok = F.size(ws)
+    n_chunks = F.ceil(n_tok / F.lit(_PL12_CTX)).cast("int")
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return d.select(
+        "doc_id", n_tok.alias("n_tok"), F.explode(idx).alias("ci")
+    ).select(
+        "doc_id",
+        F.col("ci").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(_PL12_CTX), F.col("n_tok") - F.col("ci") * _PL12_CTX)
+        .cast("bigint")
+        .alias("chunk_len"),
+    )
+
+
+_q(
+    "pl12_context_chunks",
+    f"""
+WITH t AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least({_PL12_CTX}, n_tok - i * {_PL12_CTX}) AS BIGINT) AS chunk_len
+FROM t, unnest(range(0, CAST(ceil(n_tok / {_PL12_CTX}.0) AS BIGINT))) AS u(i)
+""",
+)(_pl12)
+
+# ---------------------------------------------------------------------------
+# ts11 — Zipf histogram: corpus word-frequency distribution log2-bucketed
+# (bucket = bitlen(count)), the one-page corpus health report (a healthy
+# natural-language corpus is a straight line here; bot spam and boilerplate
+# bend it).  Word-freq groupBy then a tiny bucket rollup.
+# ---------------------------------------------------------------------------
+
+
+def _ts11(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    words = d.select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freq.groupBy(F.length(F.bin(F.col("c"))).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+_q(
+    "ts11_zipf_histogram",
+    """
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), freq AS (SELECT w, count(*) AS c FROM words GROUP BY w)
+SELECT CAST(length(bin(c)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM freq GROUP BY 1
+""",
+)(_ts11)

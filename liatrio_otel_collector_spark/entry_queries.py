@@ -3276,31 +3276,28 @@ _DRIVER_WINDOW = [
     "pl10_source_downsample",
     "ts8_length_quantiles",
     "mm2_frame_sample",
-    # r4-new rows kept for a second consecutive driver grade
-    "mm1_multimodal_features",
-    "gk2_grok_apache_log",
-    "cm2_ottl_compiled_pipeline",
-    # heaviest plan + r4 bench watch item
-    "dd7_dup_clusters",
-    "pl7_token_bigrams",
-    # flagship rows kept in-window for continuous re-grading (pl2/pl4/dd1/
-    # pl3/sim1/a12/j1/dd6 rotate out to make room for the r5 first grades —
-    # their freshness holds via their green r4 rows)
-    "pl1_parse_route_aggregate",
-    "dd2_minhash_near_dups",
+    # late-r5 first grades: the seven new operator families get hard driver
+    # rows this round (ts10/pl12/ts11 — same families as ts9/pl8 — join the
+    # r6 rotation).  They displace mm1/gk2/cm2/dd7/pl7/pl1/dd2, whose
+    # freshness holds via their green r4 rows, exactly like the flagships
+    # rotated out above.
+    "dd9_dup_chunk_stats",
+    "ts9_unigram_surprisal",
+    "w6_gap_sessions",
+    "j8_asof_latest_order",
+    "emb1_int8_quant",
+    "pf1_table_profile",
+    "pl11_train_split",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
-assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
-
-_ORDER = _DRIVER_WINDOW + [k for k in QUERIES if k not in _DRIVER_WINDOW]
-QUERIES = {k: QUERIES[k] for k in _ORDER}
-ORACLES = {k: ORACLES[k] for k in _ORDER if k in ORACLES}
+# the reorder itself runs at the END of this module (after every
+# registration) so late-registered queries can hold window slots
 
 # ---------------------------------------------------------------------------
-# r5 (late session): two more training-data curation ops.  Registered AFTER
-# the window reorder so the r5 driver window (first 50) is untouched; both
-# enter the local parity gate immediately and rotate into the r6 window.
+# r5 (late session): more training-data curation ops; the first seven hold
+# r5 window slots (see _DRIVER_WINDOW), the rest enter the local parity
+# gate immediately and rotate into the r6 window.
 #
 # dd9 — duplicated-span statistics at chunk granularity ("Deduplicating
 # Training Data Makes Language Models Better", Lee et al. 2022, simplified
@@ -3803,3 +3800,15 @@ SELECT CAST(length(bin(c)) AS BIGINT) AS bucket,
 FROM freq GROUP BY 1
 """,
 )(_ts11)
+
+# ---------------------------------------------------------------------------
+# Driver-window reorder — MUST stay the last statement of this module: the
+# driver grades the first 50 entries of queries(), so every registration
+# above is eligible for a window slot and everything else follows in
+# registration order for the local parity gate.
+# ---------------------------------------------------------------------------
+
+assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
+_ORDER = _DRIVER_WINDOW + [k for k in QUERIES if k not in _DRIVER_WINDOW]
+QUERIES = {k: QUERIES[k] for k in _ORDER}
+ORACLES = {k: ORACLES[k] for k in _ORDER if k in ORACLES}

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "emb1_int8_quant",
     "pf1_table_profile",
     "pl11_train_split",
+    "pl12_context_chunks",
+    "ts11_zipf_histogram",
 ]
 
 

@@ -3802,6 +3802,86 @@ FROM freq GROUP BY 1
 )(_ts11)
 
 # ---------------------------------------------------------------------------
+# dd10 — duplicate-cluster retention, the APPLY step of dedup: per dd7
+# cluster keep the longest member (ties: lowest doc_id) and count the
+# drops.  One extra shuffle on cluster_id after the CC; the argmax is a
+# struct-max aggregate, not a window, so map-side partial aggregation
+# applies.  Retention-by-quality is RefinedWeb/FineWeb practice — clusters
+# keep one canonical doc, not an arbitrary first-seen.
+# ---------------------------------------------------------------------------
+
+
+def _dd10(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    edges = DD.minhash_near_dups(d).select("doc_a", "doc_b")
+    clusters = DD.duplicate_clusters(edges)
+    m = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("neg"))).alias("b"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            (-F.col("b.neg")).cast("bigint").alias("keep_id"),
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+_q(
+    "dd10_cluster_retention",
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.strip()
+    + _SIGS_CTE
+    + _BANDS_CTE
+    + f"""
+, capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rk
+    FROM bands
+  ) WHERE rk <= {DD.MAX_BUCKET_WIDTH}
+)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+, edges AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b
+  WHERE {_MATCH_SUM} >= 4
+)
+, sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+)
+, reach(doc_id, r) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT rr.doc_id, s.dst FROM reach rr JOIN sym s ON s.src = rr.r
+)
+, clusters AS (
+  SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_id FROM reach GROUP BY doc_id
+)
+, m AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM m GROUP BY cluster_id
+""",
+)(_dd10)
+
+# ---------------------------------------------------------------------------
 # Driver-window reorder — MUST stay the last statement of this module: the
 # driver grades the first 50 entries of queries(), so every registration
 # above is eligible for a window slot and everything else follows in

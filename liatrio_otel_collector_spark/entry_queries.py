@@ -25,7 +25,7 @@ from .operators import aggregates as A
 from .operators import dedup as DD
 from .operators import setops as U
 from .operators import similarity as SIM
-from .operators.similarity import _DOT, _NORM, _quantized, signlsh_buckets
+from .operators.similarity import _quantized, signlsh_buckets
 from .operators.aggregates import _final_deployments
 from .operators import textstats as TS
 from .operators import windows as W
@@ -37,6 +37,7 @@ from .sources.sequences import (
     rows_for_sf,
     sequences,
 )
+from .sources.tables import ensure_parallel_scan as _wide
 from .sources.tables import load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1372,8 +1373,8 @@ WHERE {_COSINE_SQL} >= 0.18
                 "vec_a",
                 "vec_b",
                 F.round(
-                    F.expr(_DOT)
-                    / F.sqrt(F.expr(_NORM.format(c="qa")) * F.expr(_NORM.format(c="qb"))),
+                    SIM.dot_product("qa", "qb")
+                    / F.sqrt(SIM.norm_sq("qa") * SIM.norm_sq("qb")),
                     6,
                 ).alias("cosine"),
             ).filter(F.col("cosine") >= 0.18)
@@ -1621,7 +1622,9 @@ GROUP BY 1
                 DD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id")), "doc_id"
             )
         )
-    )(load_tables(spark, sf)["documents"])
+        # widened: the quality/language regex passes run on the survivors
+        # join output, whose streamed side is otherwise the unsplittable scan
+    )(_wide(load_tables(spark, sf)["documents"]))
 )
 
 # ---------------------------------------------------------------------------
@@ -2255,7 +2258,10 @@ _GK1_EXPR = (
 
 
 def _gk1(spark, sf):
-    e = load_tables(spark, sf)["events"]
+    # single-row-group probe (guide §2.5 input skew / §6): the regex chain
+    # below is expression-heavy and the events parquet cannot split — widen
+    # the narrow source rows before the per-row work
+    e = _wide(load_tables(spark, sf)["events"])
     line = F.concat(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
         F.lit(" "),
@@ -2551,7 +2557,8 @@ _GK2_EXPR = (
 
 
 def _gk2(spark, sf):
-    e = load_tables(spark, sf)["events"]
+    # widen the unsplittable scan before the line build + 5-group grok regex
+    e = _wide(load_tables(spark, sf)["events"])
     method = (
         F.when(F.col("event_id") % 4 == 0, "GET")
         .when(F.col("event_id") % 4 == 1, "POST")
@@ -2669,7 +2676,9 @@ service:
 def _cm2(spark, sf):
     from .confmap import AssembleContext, assemble, load_config
 
-    e = load_tables(spark, sf)["events"]
+    # widen the unsplittable scan: the OTTL chain below (to_json → ParseJSON
+    # → map editors) is the heaviest per-row work in the registry
+    e = _wide(load_tables(spark, sf)["events"])
     pid = (F.col("user_id") % 50).cast("string")
     grp = F.concat(F.lit("grp-"), (F.col("user_id") % 7).cast("string"))
     body = F.to_json(
@@ -2699,6 +2708,15 @@ def _cm2(spark, sf):
         )
     )
     raw = e.select(F.col("event_id").cast("bigint").alias("eid"), body.alias("body_raw"))
+    # Receiver ingestion boundary (guide §7.3 / the cm3 lesson in
+    # plans/ado_traces.py): without a plan barrier, the OTTL filter's
+    # predicate is pushed below the widening exchange INTO the payload
+    # synthesis, so the whole to_json+ParseJSON chain runs on the single
+    # unsplittable scan task (measured ~10 s at sf1.0); a real deployment's
+    # optimizer could never fold a filter into the upstream webhook sender
+    # either.  Lazy localCheckpoint: no job at build time, payload built
+    # once, post-boundary pipeline runs on all slots.
+    raw = raw.localCheckpoint(eager=False)
     cfg = load_config(_CM2_YAML)
     logs = assemble(spark, cfg, AssembleContext(frames={"webhookevent": raw}))["logs"]
     a, r = F.col("attrs"), F.col("resource")
@@ -2953,7 +2971,8 @@ def _gk3_line():
 
 
 def _gk3(spark, sf):
-    e = load_tables(spark, sf)["events"]
+    # widen the unsplittable scan before the line build + pattern-file grok
+    e = _wide(load_tables(spark, sf)["events"])
     parsed = grok_parse(
         e.select(_gk3_line().alias("line")), "line", _GK3_EXPR, keep=False,
         patterns=_GK3_LIB,
@@ -3325,7 +3344,8 @@ def _dd9_chunks(d: DataFrame) -> DataFrame:
 
 
 def _dd9(spark, sf):
-    d = load_tables(spark, sf)["documents"]
+    # widen the unsplittable documents scan before the chunk explode + md5
+    d = _wide(load_tables(spark, sf)["documents"])
     # pre-aggregate per (doc, chunk-hash): the exploded frame feeds BOTH the
     # corpus-frequency branch and the join-back, and with no exchange in
     # between Catalyst would recompute scan+explode+md5 once per branch.
@@ -3380,7 +3400,8 @@ FROM chunks JOIN freq USING (h) GROUP BY doc_id
 
 
 def _ts9(spark, sf):
-    d = load_tables(spark, sf)["documents"]
+    # widen the unsplittable documents scan before the word explode
+    d = _wide(load_tables(spark, sf)["documents"])
     words = d.select(
         "doc_id", F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
     )
@@ -3514,7 +3535,8 @@ FROM events e LEFT JOIN LATERAL (
 
 def _ts10(spark, sf):
     d = load_tables(spark, sf)["documents"]
-    words = d.select(
+    # widen only the explode branch; n_docs below counts the raw scan
+    words = _wide(d).select(
         "doc_id", F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
     )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
@@ -3652,7 +3674,10 @@ _PF1_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
 def _pf1(spark, sf):
-    li = load_tables(spark, sf)["lineitem"]
+    # lineitem at bench SFs is a one-byte-range file (guide §6): widen so the
+    # count_distinct partial aggregates use every slot; column pruning pushes
+    # through the round-robin exchange, so only the 4 profiled columns move
+    li = _wide(load_tables(spark, sf)["lineitem"])
     aggs = []
     for c in _PF1_COLS:
         aggs += [
@@ -3772,7 +3797,8 @@ FROM t, unnest(range(0, CAST(ceil(n_tok / {_PL12_CTX}.0) AS BIGINT))) AS u(i)
 
 
 def _ts11(spark, sf):
-    d = load_tables(spark, sf)["documents"]
+    # widen the unsplittable documents scan before the word explode
+    d = _wide(load_tables(spark, sf)["documents"])
     words = d.select(
         F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
     )

@@ -429,6 +429,16 @@ def contamination_scan(
     bc = spark.sparkContext.broadcast(probe_list)
     _build = build_multipattern_scanner  # <locals> qualname → pickled by value
 
+    # widen an unsplittable corpus scan before the Python stage: one round-
+    # robin redistribution of the narrow (doc_id, text) rows, so the
+    # Aho-Corasick pass uses every slot instead of serializing on the single
+    # row-group file (guide §4.1: the Python boundary cost is per-row; the
+    # fix for a one-task stage is parallelism, not a faster kernel)
+    from ..sources.tables import needs_widening
+
+    if needs_widening(documents):
+        documents = documents.repartition(spark.sparkContext.defaultParallelism)
+
     # Self-contained closure (pickled by value — executors may not have the
     # package importable); automaton built lazily once per partition task.
     def scan(batches):
@@ -613,41 +623,112 @@ def semantic_dedup(
     vectors absent from this frame — the deterministic analog of
     SemDeDup's keep-one-per-similar-group rule.
 
-    Plan shape: learned-centroid assignment (broadcast N×K — the sim4
-    machinery), a row_number window per cell for the rep cap, then ONE
-    equi-join on cell between the full assignment and the capped rep side.
-    The join shuffles on cell; cells are numerous and bounded at scale, so
-    no skew pathology, and cosine runs only on same-cell pairs."""
-    from .similarity import _DOT, _NORM, ivf_assign, ivf_kmeans_centroids
+    Plan shape (r6, guide §2.4/§3.1/§1.2): learned centroids are collected
+    (K rows — dim-table size class) so assignment is a literal-centroid
+    codegen projection with NO join and NO per-vec window; the capped rep
+    side (≤ cells × max_reps rows) is explicitly broadcast, so the pair
+    probe never shuffles the assignment at all; norms are computed once per
+    SIDE (rep / candidate), never per pair; and the per-pair cosine is the
+    expanded codegen dot product instead of the interpreted aggregate()
+    fold that dominated the r5 runtime (99 s → ~3 s at the driver's sf1.0).
+    All arithmetic is the same exact integers, so results are bit-identical
+    to the unchanged DuckDB oracle."""
+    from .similarity import (
+        _quantized,
+        _widened,
+        assign_cells_local,
+        collect_centroids,
+        ivf_kmeans_centroid_rows,
+    )
 
-    cents = ivf_kmeans_centroids(embeddings) if centroids is None else centroids
-    assigned = ivf_assign(embeddings, cents)  # (vec_id, q, cell)
-    # Both join sides consume `assigned`, and its lineage is the whole
-    # k-means refinement (2 Lloyd passes + init + final assignment ≈ 5 scans
-    # of the vectors).  Materialize it ONCE: without this, each side re-runs
-    # the full lineage (measured 8.5 s → ~3 s at sf0.1).  localCheckpoint
-    # stores exactly N×(vec_id, 64-int q, cell) — the same frame any
-    # iterative-ML job persists between phases — and at 10^12 vectors that
-    # is the working set the cluster must hold anyway to dedup it.
-    assigned = assigned.localCheckpoint(eager=True)
-    w = Window.partitionBy("cell").orderBy("vec_id")
-    reps = (
-        assigned.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= max_reps)
-        .select(F.col("cell"), F.col("vec_id").alias("rep_id"), F.col("q").alias("qa"))
+    cent_rows = (
+        ivf_kmeans_centroid_rows(embeddings)
+        if centroids is None
+        else collect_centroids(centroids)
     )
-    pairs = (
-        assigned.select("cell", "vec_id", F.col("q").alias("qb"))
-        .join(reps, "cell")
-        .filter(F.col("rep_id") < F.col("vec_id"))
-    )
-    cos = F.round(
-        F.expr(_DOT) / F.sqrt(F.expr(_NORM.format(c="qa")) * F.expr(_NORM.format(c="qb"))),
-        6,
-    )
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .groupBy("vec_id", "cell")
-        .agg(F.min("rep_id").alias("dup_of"))
+    assigned = assign_cells_local(
+        _quantized(_widened(embeddings)).select("vec_id", "q"), cent_rows
+    )  # (vec_id, q, cell) — a projection over the scan; the r5
+    # localCheckpoint (which also hid the plan from the no-cartesian gate)
+    # is gone.
+    # Per-cell scoring kernel (guide §8 / §4.2): the r5 plan equi-joined the
+    # assignment against the capped rep side and materialized ~N·R joined
+    # rows (two 512-byte vectors each) ONLY to evaluate one dot product per
+    # pair — at sf1.0 that was 16M × ~1 KB of row construction (measured
+    # 6.6 s of join alone) plus 16M interpreted HOF folds.  Instead each
+    # vector now crosses into one vectorized kernel ONCE (N rows, ~10 MB at
+    # sf1.0), grouped by cell, and the m×R pair work runs as exact int64
+    # BLAS matmuls.  Arithmetic is bit-identical to the SQL definition:
+    # integer dots/norms are exact in int64; int64→float64 conversions are
+    # exact below 2^53 (|dot| ≤ 64·(10³·max|x|)², far below); sqrt and
+    # division are single correctly-rounded IEEE ops in both engines; and
+    # the round(·,6) ≥ threshold gate is re-evaluated with Python's exact
+    # decimal rounding inside a ±1e-5 band around the threshold (outside
+    # the band rounding cannot flip the comparison).  max_reps and the
+    # rep_id < vec_id rule are positional on the sorted ids, exactly the
+    # row_number window they replace.
+    return _score_cells_pandas(assigned, threshold, max_reps)
+
+
+def _make_cell_scorer(threshold: float, max_reps: int):
+    """Factory so the kernel pickles BY VALUE (round-1 rule: executors may
+    not have this package importable)."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        m = len(ids)
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "dup_of": pd.Series([], dtype="int64"),
+            }
+        )
+        if m < 2:
+            return empty
+        q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        r = min(max_reps, m)
+        rep_ids, rep_q = ids[:r], q[:r]
+        norms = (q * q).sum(axis=1)  # exact int64
+        rep_norms = norms[:r].astype(np.float64)
+        out_vec, out_dup = [], []
+        lo, hi = threshold - 1e-5, threshold + 1e-5
+        # chunk rows so the m×r score matrix stays bounded regardless of a
+        # degenerate clustering collapsing into one giant cell
+        for i0 in range(0, m, 4096):
+            i1 = min(i0 + 4096, m)
+            dots = q[i0:i1] @ rep_q.T  # exact int64 (m_chunk × r)
+            cos = dots / np.sqrt(norms[i0:i1, None].astype(np.float64) * rep_norms[None, :])
+            mask = cos >= threshold
+            band = (cos >= lo) & (cos < hi)
+            if band.any():
+                for bi, bj in zip(*np.nonzero(band)):
+                    # exact decimal round — matches Spark/DuckDB round(x, 6)
+                    mask[bi, bj] = round(float(cos[bi, bj]), 6) >= threshold
+            # rep_id < vec_id: ids are sorted and reps are the first r, so
+            # rep j is an earlier vector of row i0+k iff j < i0+k
+            mask &= (np.arange(i0, i1)[:, None]) > np.arange(r)[None, :]
+            hit = mask.any(axis=1)
+            if hit.any():
+                first = mask[hit].argmax(axis=1)  # first True == min rep_id
+                out_vec.append(ids[i0:i1][hit])
+                out_dup.append(rep_ids[first])
+        if not out_vec:
+            return empty
+        vec = np.concatenate(out_vec)
+        cell = np.full(vec.shape, np.int32(pdf["cell"].iloc[0]))
+        return pd.DataFrame(
+            {"vec_id": vec, "cell": cell, "dup_of": np.concatenate(out_dup)}
+        )
+
+    return score
+
+
+def _score_cells_pandas(assigned: DataFrame, threshold: float, max_reps: int) -> DataFrame:
+    return assigned.groupBy("cell").applyInPandas(
+        _make_cell_scorer(threshold, max_reps), "vec_id bigint, cell int, dup_of bigint"
     )

@@ -19,6 +19,40 @@ LSH_SEED = 42
 PLANE_SCALE = 1000
 EMBEDDING_DIM = 64  # the embeddings tables are 64-dim at every SF
 
+def dot_product(a: str, b: str):
+    """Exact BIGINT dot product <a, b> as the aggregate(zip_with(...)) HOF.
+
+    Measured on this Spark build (16M-row micro-bench, BENCH notes r6): the
+    HOF fold at ~0.75 µs/row beats a fully expanded `a[0]*b[0]+...+a[63]*b[63]`
+    chain by 3.5x — 64 GetArrayItem evaluations cost more than one fused
+    array traversal, and the giant expanded expression also trips janino's
+    64 KB method limit (whole-stage fallback) in join/agg stages.  So the
+    kernel stays a HOF; the r6 wins around it are structural instead: norms
+    once per SIDE (never per pair), centroid assignment as a literal
+    projection, and broadcast rep sides (guide §1.2 step 1 before step 2).
+    Built as one SQL string: a py4j-built Column tree costs hundreds of
+    driver round trips of plan-construction latency per call site."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sq(c: str):
+    """Exact BIGINT squared norm ||c||² — same kernel form as dot_product."""
+    return F.expr(
+        f"aggregate(transform({c}, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def dot_lit(q: str, vec):
+    """<q, vec> with a CONSTANT integer vector (HOF against an array literal)."""
+    arr = "array(" + ", ".join(str(int(v)) + "L" for v in vec) + ")"
+    return F.expr(
+        f"aggregate(zip_with({q}, {arr}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
 
 def random_hyperplanes(
     n_bits: int = 3,
@@ -59,18 +93,18 @@ def brute_force_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 
         _quantized(embeddings)
         .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
         .filter(F.col("query_id").isin(*query_ids))
-        .withColumn("na", F.expr(_NORM.format(c="qa")))
+        .withColumn("na", norm_sq("qa"))
     )
     c = (
         _quantized(embeddings)
         .select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"))
-        .withColumn("nb", F.expr(_NORM.format(c="qb")))
+        .withColumn("nb", norm_sq("qb"))
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "cand_id",
-        F.round(F.expr(_DOT) / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
+        F.round(dot_product("qa", "qb") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -92,12 +126,9 @@ def signlsh_buckets(
     tests/test_similarity_recall.py): bit j = <q, plane_j> >= 0."""
     bucket = None
     for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(int(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(q_col), arr, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
+        # expanded literal dot (codegen) — same exact BIGINT sum as the old
+        # aggregate(zip_with(...)) fold
+        dot = dot_lit(q_col, plane)
         bit = F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return embeddings.withColumn("bucket", bucket.cast("int"))
@@ -138,12 +169,12 @@ def lsh_topk(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("bucket").alias("qbucket")
         )
         .filter(F.col("query_id").isin(*query_ids))
-        .withColumn("na", F.expr(_NORM.format(c="qa")))
+        .withColumn("na", norm_sq("qa"))
         .withColumn("_m", F.explode(masks))
         .withColumn("probe", F.col("_m").bitwiseXOR(F.col("qbucket")))
     )
     c = b.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"), "bucket").withColumn(
-        "nb", F.expr(_NORM.format(c="qb"))
+        "nb", norm_sq("qb")
     )
     pairs = c.join(F.broadcast(q), F.col("bucket") == F.col("probe")).filter(
         F.col("cand_id") != F.col("query_id")
@@ -151,7 +182,7 @@ def lsh_topk(
     scored = pairs.select(
         "query_id",
         "cand_id",
-        F.round(F.expr(_DOT) / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
+        F.round(dot_product("qa", "qb") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -193,6 +224,104 @@ def ivf_centroids(embeddings: DataFrame, k: int = IVF_K, stride: int = IVF_CENTR
 
 IVF_KMEANS_ITERS = 2
 
+_CENTROID_SCHEMA = "cell int, qc array<bigint>"
+
+
+def collect_centroids(centroids: DataFrame) -> list[tuple[int, list[int]]]:
+    """Materialize a (cell, qc) centroid frame as driver rows, sorted by
+    cell.  Centroids are dim-table sized BY CONTRACT (K rows of 64 ints —
+    the same size class as a broadcast join's build side), so collecting
+    them is the standard small-side move (guide §3.1), and it buys the big
+    win: assignment becomes a codegen PROJECTION over literal vectors
+    instead of an N×K join + per-vec_id window shuffle."""
+    return sorted((int(r["cell"]), [int(x) for x in r["qc"]]) for r in centroids.collect())
+
+
+def _assign_expr(cents: list[tuple[int, list[int]]], q_col: str = "q"):
+    """Nearest-centroid cell id as one expression over literal centroids:
+    array_min over (dist, cell) structs — struct comparison is field-ordered,
+    so this is EXACTLY the old row_number(ORDER BY dist, cell) == 1 tie rule.
+    Each distance is the same exact-integer HOF squared distance as before
+    (see dot_product for why HOF kernels beat expanded element chains here).
+    One SQL string → one py4j call (a py4j-built K×dim Column tree cost
+    seconds of plan-construction latency per assignment site)."""
+    structs = ", ".join(
+        "named_struct('d', aggregate(zip_with({q}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v), 'c', {cell})".format(
+            q=q_col,
+            arr="array(" + ", ".join(str(int(c)) + "L" for c in qc) + ")",
+            cell=int(cell),
+        )
+        for cell, qc in cents
+    )
+    return F.expr(f"CAST(array_min(array({structs})).c AS INT)")
+
+
+def assign_cells_local(v: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(vec_id, q, cell) via literal-centroid projection: no join, no
+    window — the N×K arithmetic runs in one projection (guide §2.4 "remove
+    shuffles outright").  Exact same integers and tie rule as the former
+    crossJoin + row_number path."""
+    return v.withColumn("cell", _assign_expr(cents)).select("vec_id", "q", "cell")
+
+
+def _lloyd_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd mean update — element-wise floor(sum/count) per cell, the
+    exact update rule the DuckDB oracle unrolls (empty cells drop out)."""
+    return (
+        assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("bigint").alias("d"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "d"))), lambda s: s["d"]
+            ).alias("qc")
+        )
+    )
+
+
+def ivf_kmeans_centroid_rows(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    stride: int = IVF_CENTROID_STRIDE,
+    iters: int = IVF_KMEANS_ITERS,
+) -> list[tuple[int, list[int]]]:
+    """Driver-side list of (cell, qc) after the FIXED Lloyd iterations.
+
+    Arithmetic is UNCHANGED from the r5 DataFrame-only version — init is the
+    stride sample, assignment is exact integer squared distance with ties to
+    the smaller cell, update is the same Spark floor(sum/count) groupBy — but
+    each iteration's K-row result is collected so the NEXT assignment runs as
+    a literal-centroid projection.  This removes, per iteration, one N×K
+    BroadcastNestedLoopJoin and one full-N row_number window shuffle, and
+    stops the final assignment's lineage from nesting every previous
+    iteration's join+window (the old plan re-ran ~5 scans of the vectors).
+    Cost: `iters + 1` tiny collects (K rows of 64 ints each — dim-table
+    size), the same class of driver work as building any broadcast side."""
+    cents = collect_centroids(ivf_centroids(embeddings, k, stride))
+    v = _quantized(_widened(embeddings)).select("vec_id", "q")
+    for _ in range(iters):
+        cents = collect_centroids(_lloyd_update(assign_cells_local(v, cents)))
+    return cents
+
+
+def _widened(embeddings: DataFrame) -> DataFrame:
+    """Spread an unsplittable (single-row-group) scan before expression-heavy
+    per-row work; no-op when the reader already splits wide enough (guide
+    §2.5 input skew / §6).  Also load-bearing for codegen: after a shuffle
+    read the assignment projection's 8×64-term expression can be split into
+    sub-methods (rows are accessible as InternalRow), so the stage compiles
+    instead of tripping janino's 64 KB method limit and falling back to
+    interpreted evaluation."""
+    from ..sources.tables import needs_widening
+
+    if needs_widening(embeddings):
+        return embeddings.repartition(
+            embeddings.sparkSession.sparkContext.defaultParallelism, F.col("vec_id")
+        )
+    return embeddings
+
 
 def ivf_kmeans_centroids(
     embeddings: DataFrame,
@@ -200,57 +329,23 @@ def ivf_kmeans_centroids(
     stride: int = IVF_CENTROID_STRIDE,
     iters: int = IVF_KMEANS_ITERS,
 ) -> DataFrame:
-    """(cell, qc): K centroids refined by a FIXED number of Lloyd iterations
-    — deterministic k-means, every step exact-integer so a SQL oracle can
-    unroll the same iterations and hash-match the assignment:
-
-    - init: the existing stride sample (ivf_centroids) — seeded, reproducible;
-    - assign: exact integer squared distance, ties to the smaller cell id;
-    - update: element-wise floor(sum/count) per cell (floor of an exact
-      integer ratio — both engines agree bit-for-bit);
-    - a cell that loses all members drops out (k shrinks), same rule in the
-      oracle.
-
-    Scale shape: each iteration is one N×K broadcast assignment plus one
-    64N-row map-side-combined groupBy — the standard distributed Lloyd step;
-    no driver-side loops over data, only over the FIXED iteration count."""
-    cents = ivf_centroids(embeddings, k, stride)
-    v = _quantized(embeddings).select("vec_id", "q")
-    for _ in range(iters):
-        assigned = _nearest_cell(v, cents)
-        cents = (
-            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("bigint").alias("d"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "d"))), lambda s: s["d"]
-                ).alias("qc")
-            )
-        )
-    return cents
-
-
-def _nearest_cell(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", F.expr(_SQDIST.format(a="q", b="qc"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
-    return (
-        d.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("vec_id", "q", "cell")
-    )
+    """(cell, qc) centroid frame after the FIXED Lloyd iterations — same
+    result as r5, now built via :func:`ivf_kmeans_centroid_rows` (see its
+    docstring for the plan-shape change and why results are bit-identical)."""
+    spark = embeddings.sparkSession
+    rows = ivf_kmeans_centroid_rows(embeddings, k, stride, iters)
+    return spark.createDataFrame(rows, _CENTROID_SCHEMA)
 
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, q, cell): nearest-centroid assignment, exact squared
-    distance on quantized ints, ties to the smaller cell id.  N×K work via a
-    broadcast of the (tiny) centroid table — the IVF build pass."""
-    return _nearest_cell(_quantized(embeddings).select("vec_id", "q"), centroids)
+    distance on quantized ints, ties to the smaller cell id.  The centroid
+    side is dim-table sized by contract, so it is collected and the N×K
+    arithmetic runs as a literal-expression projection (no join, no window
+    shuffle — guide §2.4)."""
+    return assign_cells_local(
+        _quantized(embeddings).select("vec_id", "q"), collect_centroids(centroids)
+    )
 
 
 def ivf_topk(
@@ -264,36 +359,55 @@ def ivf_topk(
     """IVF-flat ANN: assign every vector to its nearest centroid, probe the
     query's nprobe nearest cells, score cosine only inside them.  The coarse
     quantizer defaults to the sampled centroids; pass
-    ``centroids=ivf_kmeans_centroids(...)`` for the learned variant."""
+    ``centroids=ivf_kmeans_centroids(...)`` for the learned variant.
+
+    r6 plan shape (guide §2.4/§3.1): centroids and the Q query vectors are
+    both dim-table sized, so probe selection runs on driver ints (exact same
+    integer sqdist + (dist, cell) tie rule as the old Q×K BroadcastNestedLoop
+    join + window) and the candidate scan is ONE broadcast-hash join of the
+    assignment projection against the Q·nprobe-row probe frame.  Scoring uses
+    the expanded codegen dot product; norms are computed once per side, never
+    per pair."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(embeddings, n_centroids) if centroids is None else centroids
-    assigned = ivf_assign(embeddings, cents)
+    spark = embeddings.sparkSession
+    cent_rows = collect_centroids(
+        ivf_centroids(embeddings, n_centroids) if centroids is None else centroids
+    )
+    assigned = assign_cells_local(
+        _quantized(_widened(embeddings)).select("vec_id", "q"), cent_rows
+    )
 
-    qv = assigned.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    # Q query vectors: dim-table sized by contract — collect once, pick each
+    # query's nprobe nearest cells with the identical exact-integer rule.
+    qrows = (
+        _quantized(embeddings)
+        .filter(F.col("vec_id").isin(*query_ids))
+        .select("vec_id", "q")
+        .collect()
     )
-    # nprobe nearest cells per query (Q×K broadcast, tiny)
-    qd = qv.crossJoin(F.broadcast(cents)).withColumn(
-        "dist", F.expr(_SQDIST.format(a="qa", b="qc"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("cell"))
-    probes = (
-        qd.withColumn("_rk", F.row_number().over(wq))
-        .filter(F.col("_rk") <= nprobe)
-        .select("query_id", "qa", "cell")
-        .withColumn("na", F.expr(_NORM.format(c="qa")))
+    probe_rows = []
+    for r in sorted(qrows, key=lambda r: int(r["vec_id"])):
+        qa = [int(x) for x in r["q"]]
+        na = sum(x * x for x in qa)
+        by_dist = sorted(
+            (sum((a - c) ** 2 for a, c in zip(qa, qc)), cell) for cell, qc in cent_rows
+        )
+        for _, cell in by_dist[:nprobe]:
+            probe_rows.append((int(r["vec_id"]), qa, int(cell), int(na)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, qa array<bigint>, cell int, na bigint"
     )
     cands = assigned.select(
         F.col("vec_id").alias("cand_id"), F.col("q").alias("qb"), "cell"
-    ).withColumn("nb", F.expr(_NORM.format(c="qb")))
+    ).withColumn("nb", norm_sq("qb"))
     pairs = cands.join(F.broadcast(probes), "cell").filter(
         F.col("cand_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "cand_id",
-        F.round(F.expr(_DOT) / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
+        F.round(dot_product("qa", "qb") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (

@@ -155,9 +155,31 @@ def _nonnull_map(pairs) -> Column:
 
 
 def parse_ado_events(raw: DataFrame, body_col: str = "body_raw") -> DataFrame:
-    """S26: extract eventType and typed payload from raw webhook JSON."""
-    return raw.withColumn("e", F.from_json(F.col(body_col), ADO_EVENT_SCHEMA)).filter(
+    """S26: extract eventType and typed payload from raw webhook JSON.
+
+    The parsed struct is materialized ONCE behind an optimizer barrier
+    (guide §1.2 "don't compute things twice" / §7.3 planning cost).  Without
+    it, predicate pushdown rewrites every downstream dispatch/completed-gate
+    filter through this projection into its own
+    ``from_json(to_json(payload)).field`` predicate, and each of those giant
+    generated-code instances is janino-compiled separately — measured at r6
+    as 13.6 s of pure codegen compilation for a 3,000-row input (interpreted
+    evaluation of the same plan: 0.46 s).  A repartition alone does NOT stop
+    pushdown; the lazy ``localCheckpoint`` plan-barrier does: the three span
+    branches and any OTTL filters then reference the materialized struct
+    column (tiny expressions), the body is parsed exactly once, and the big
+    parse subplan is compiled exactly once.  Lazy (eager=False), so building
+    the plan still launches no job; at scale the checkpoint materializes the
+    parsed batch to executor-local storage — the same bytes a shuffle of the
+    typed payload would write."""
+    spark = raw.sparkSession
+    parsed = raw.withColumn("e", F.from_json(F.col(body_col), ADO_EVENT_SCHEMA)).filter(
         F.col("e.eventType").isin(EVENT_RUN, EVENT_STAGE, EVENT_JOB)
+    )
+    return (
+        parsed.select("e")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
 
 

@@ -83,6 +83,15 @@ class PipelineConfig:
         default_factory=lambda: os.environ.get("SPARK_GRAFT_SCRATCH")
         or ("/dev/shm" if os.path.isdir("/dev/shm") else os.environ.get("TMPDIR"))
     )
+    # Codec for the EPHEMERAL staging table only (r6, guide §6): the stage
+    # lives on fast node-local scratch and is read back exactly once, so
+    # compression CPU is on the critical path while its byte savings buy
+    # little — measured at 10M rows: zstd stage write 3.3 s vs snappy 2.3 s
+    # (317 MB vs 827 MB, both trivial for tmpfs/NVMe scratch).  Durable
+    # sinks keep the session-wide zstd default.
+    stage_compression: str = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_STAGE_CODEC", "snappy")
+    )
 
 
 def parse_stage(df: DataFrame, use_udf: bool = True) -> DataFrame:
@@ -121,8 +130,12 @@ def route_predicates(cfg: PipelineConfig) -> "dict[str, Column]":
 
 
 def route_stage(enriched: DataFrame, cfg: PipelineConfig) -> dict[str, DataFrame]:
-    """Fan rows out to per-signal sinks. Tokens pass through UNTOUCHED on the
-    row sinks — the per-row token-array-equality invariant."""
+    """Fan rows out to per-signal sinks.  Tokens pass through UNTOUCHED on
+    the LOGS sink — the per-row token-array-equality invariant lives there.
+    The traces sink does NOT carry the token payload (r6, guide §2.3
+    "project before the exchange"/§6 output sizing): a span is ids +
+    routing attributes, and the wide token array was ~90% of its write
+    bytes while nothing downstream read it from that sink."""
     preds = route_predicates(cfg)
     out: dict[str, DataFrame] = {}
     if "logs" in preds:
@@ -132,6 +145,7 @@ def route_stage(enriched: DataFrame, cfg: PipelineConfig) -> dict[str, DataFrame
             enriched.filter(preds["traces"])
             .withColumn("trace_id", trace_id("doc_id", "source"))
             .withColumn("span_id", span_id("doc_id", "scope"))
+            .drop("tokens")
         )
     return out
 
@@ -223,9 +237,12 @@ def run_pipeline(
         import time as _t
 
         _t0 = _t.time()
-        build_enriched(spark, n_rows, cfg, source_df).write.mode("overwrite").format(
-            cfg.sink_format
-        ).save(stage_path)
+        stage_writer = build_enriched(spark, n_rows, cfg, source_df).write.mode(
+            "overwrite"
+        ).format(cfg.sink_format)
+        if cfg.sink_format == "parquet":
+            stage_writer = stage_writer.option("compression", cfg.stage_compression)
+        stage_writer.save(stage_path)
         if timings is not None:
             # parse + salted repartition + broadcast enrich + staged write
             timings["parse_enrich_stage_write_sec"] = round(_t.time() - _t0, 3)

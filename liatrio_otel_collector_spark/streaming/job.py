@@ -93,7 +93,11 @@ def _process_batch(spark: SparkSession, cfg: StreamingConfig):
                 stage_dir = tempfile.mkdtemp(
                     prefix=f"liatrio_stream_b{batch_id}_", dir=cfg.pipeline.scratch_dir
                 )
-                built.write.mode("overwrite").parquet(stage_dir)
+                # ephemeral scratch: cheap codec, same rationale as the batch
+                # staging table (PipelineConfig.stage_compression)
+                built.write.mode("overwrite").option(
+                    "compression", cfg.pipeline.stage_compression
+                ).parquet(stage_dir)
                 enriched = spark.read.parquet(stage_dir)
             else:
                 enriched = built.persist()

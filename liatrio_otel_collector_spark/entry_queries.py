@@ -3233,80 +3233,73 @@ FROM documents GROUP BY 1
 )(_ts8)
 
 # ---------------------------------------------------------------------------
-# Driver grading window (established r3; rotated per VERDICT r4 item 1).
+# Driver grading window (established r3; rotated per VERDICT r5 item 1).
 #
 # The driver grades exactly the FIRST 50 entries of queries() in registration
-# order.  Round-5 rotation: the 32 queries whose newest driver row is r3 come
-# back in-window, the 11 r5 additions (cm3/cm4/gk3/sim4/pl8/ts7/dd8/pl9/
-# pl10/ts8/mm2) get first grades, and 7 repeats carry over from the r4
-# window (2 flagship rows, the 3 r4-new rows for a second consecutive grade,
-# plus dd7/pl7 — the heaviest plan and the r4 bench watch item; pl2/pl4/dd1/
-# pl3/sim1/a12/j1/dd6 rotated out to make the new slots, their freshness
-# held by green r4 rows).  The r4 ∪ r5 windows cover ALL 93 queries, so
-# after this round every query's newest driver row is ≤1 round old.
-# Rotated-out rows keep
-# their keys, oracles, and the full-set local parity gate
-# (tests/test_oracle_parity.py) — only dict ORDER moves.
+# order.  Round-6 rotation: the four late-r5 registrations that have never
+# held a driver row (ts10/ts11/pl12/dd10) lead the window, and the remaining
+# 46 slots re-grade queries whose newest driver row is r4, so r5 ∪ r6 leaves
+# every query with a green row at most one round old except four r4-green
+# holdovers (pl2/pl4/dd1/x4) that carry independent pytest/golden coverage
+# (pipeline rollup + token-equality tests, exact-dedup via pl5's survivors
+# join, trace-id goldens).  Rotated-out rows keep their keys, oracles, and
+# the full-registry local parity gate (tests/test_oracle_parity.py) — only
+# dict ORDER moves.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # newest driver row r3 — re-graded this round (VERDICT r4 item 1)
-    "a6_change_time_to_approval",
-    "a7_ref_revisions_delta",
-    "a11_cve_count",
-    "a24_code_coverage",
-    "a18_catalog_component_counts",
-    "a21_terraform_module_consumers",
-    "w1_unique_step_names",
-    "dd3_ngram_jaccard_pairs",
-    "dd4_simhash",
-    "sim2_lsh_topk",
-    "sim3_ivf_topk",
-    "ts2_quality_score",
-    "s1_repo_search_scan",
-    "s16_oldest_divergent_commit",
-    "w3_latest_deployment_per_service",
-    "u1_union_cve_sources",
-    "f10_repo_substring_filter",
-    "dd5_embedding_near_dups",
-    "x19_labels_lowercase",
-    "x20_indexed_workflow_attrs",
-    "a20_catalog_resource_stats",
-    "a23_terraform_consumer_rows",
-    "cn1_span_count",
-    "cn2_spanmetrics",
-    "pl5_curation_pipeline",
-    "s27_actions_job_spans",
-    "s26_ado_spans",
-    "a25_ado_snapshot_emit",
-    "ts5_pii_scrub",
-    "pl6_sequence_stats",
-    "pr1_probabilistic_sampler",
-    "pr2_tail_sampler",
-    # new in r5
-    "cm3_ottl_span_pipeline",
-    "cm4_ottl_datapoint_pipeline",
-    "gk3_grok_pattern_file",
-    "sim4_ivf_kmeans_topk",
-    "pl8_token_packing",
-    "ts7_rare_word_stats",
-    "dd8_semantic_dedup",
-    "pl9_source_mixing",
-    "pl10_source_downsample",
-    "ts8_length_quantiles",
-    "mm2_frame_sample",
-    # late-r5 first grades: the seven new operator families get hard driver
-    # rows this round (ts10/pl12/ts11 — same families as ts9/pl8 — join the
-    # r6 rotation).  They displace mm1/gk2/cm2/dd7/pl7/pl1/dd2, whose
-    # freshness holds via their green r4 rows, exactly like the flagships
-    # rotated out above.
-    "dd9_dup_chunk_stats",
-    "ts9_unigram_surprisal",
-    "w6_gap_sessions",
-    "j8_asof_latest_order",
-    "emb1_int8_quant",
-    "pf1_table_profile",
-    "pl11_train_split",
+    # never graded before r6 — first driver rows
+    "ts10_tfidf_topk",
+    "ts11_zipf_histogram",
+    "pl12_context_chunks",
+    "dd10_cluster_retention",
+    # newest driver row r4 — re-graded this round
+    "a1_repository_count",
+    "a2_ref_count",
+    "a3_change_count",
+    "a4_change_time_to_merge",
+    "a5_change_duration",
+    "a8_ref_lines_delta",
+    "a9_ref_time",
+    "a10_contributor_count",
+    "a12_deployment_count",
+    "a13_deployment_average_duration",
+    "a14_deployment_last_timestamp",
+    "a15_work_item_count",
+    "a16_work_item_tag_count",
+    "a17_work_item_cycle_time",
+    "w2_first_purchase_per_user",
+    "w4_oldest_commit_per_branch",
+    "w5_latest_event_per_user",
+    "j1_broadcast_enrich_join",
+    "j5_case_insensitive_dim_join",
+    "j7_service_name_precedence",
+    "u2_combined_pull_requests",
+    "u3_receiver_fan_in",
+    "f1_stale_branch_filter",
+    "f8_regex_event_filter",
+    "x9_api_url_rewrite",
+    "x16_multi_format_timestamps",
+    "x22_workflow_path_names",
+    "dd2_minhash_near_dups",
+    "dd7_dup_clusters",
+    "sim1_brute_force_topk",
+    "ts1_token_count",
+    "ts3_language_id",
+    "ts4_fingerprint",
+    "pl1_parse_route_aggregate",
+    "pl3_trace_ids",
+    "dd6_contamination_scan",
+    "gb1_groupbyattrs",
+    "gt1_groupbytrace",
+    "iv1_interval_last",
+    "gk1_grok_parse",
+    "ts6_repetition_stats",
+    "pl7_token_bigrams",
+    "cm1_config_pipeline",
+    "mm1_multimodal_features",
+    "gk2_grok_apache_log",
+    "cm2_ottl_compiled_pipeline",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -89,6 +89,20 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _materialized_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """The minhash signature frame behind a lazy plan barrier (guide §1.2
+    "don't compute things twice"): dd2's plan consumes the signatures FOUR
+    times (both sides of the band bucket join, both sides of the
+    agreement join), and without a barrier each consumer re-runs the whole
+    shingle explode → 8×md5 → SortAggregate pipeline over the full shingle
+    stream (r6 plan audit: 8 parquet scans, 0 reuse).  The signature frame
+    itself is tiny — one row per document, 8 fixed-width digests — the
+    classic cheap-proxy frame of guide §8, so materializing it once is the
+    right trade at any scale."""
+    sig = minhash_signatures(shingles(documents, distinct=False), num_hashes)
+    return sig.localCheckpoint(eager=False)
+
+
 def lsh_bands(sig: DataFrame, num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
     """(doc_id, band_id, band_key): banded signature for bucket-join."""
     n_bands = num_hashes // band_size
@@ -138,7 +152,7 @@ def minhash_candidates(
     max_bucket_width: int = MAX_BUCKET_WIDTH,
 ) -> DataFrame:
     """Band-collision candidate pairs (pre-verification), bucket-capped."""
-    sig = minhash_signatures(shingles(documents, distinct=False), num_hashes)
+    sig = _materialized_signatures(documents, num_hashes)
     bands = capped_bands(sig, num_hashes, band_size, max_bucket_width)
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -163,7 +177,7 @@ def minhash_near_dups(
     """MinHash+LSH near-duplicate pairs: shingle → minhash → capped band →
     bucket join → signature-agreement filter.  Returns (doc_a, doc_b,
     match_count) for pairs agreeing on >= min_matches of num_hashes hashes."""
-    sig = minhash_signatures(shingles(documents, distinct=False), num_hashes)
+    sig = _materialized_signatures(documents, num_hashes)
     bands = capped_bands(sig, num_hashes, band_size, max_bucket_width)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -873,6 +873,50 @@ def _schema_tree(program: list[dict[str, Any]]) -> dict:
     return tree
 
 
+class _RecipeFrame:
+    """Duck-typed stand-in for a DataFrame during chain compilation: records
+    the (filter / withColumn) operation list instead of issuing py4j calls
+    against a live frame.  The OTTL compiler only ever reads ``.columns`` and
+    issues those two operations, and every Column it builds references input
+    columns BY NAME — so a recorded recipe replays verbatim onto any frame
+    with the same input columns.  This is what makes the compiled chain
+    cacheable across micro-batches (VERDICT r5 item 2): statement parsing,
+    schema inference, and the py4j expression construction run once per
+    (chain, signal, input-schema); each subsequent batch pays only
+    len(recipe) DataFrame calls."""
+
+    __slots__ = ("columns", "ops")
+
+    def __init__(self, columns, ops=()):
+        self.columns = list(columns)
+        self.ops = list(ops)
+
+    def withColumn(self, name: str, col: Column) -> "_RecipeFrame":
+        cols = self.columns if name in self.columns else [*self.columns, name]
+        return _RecipeFrame(cols, [*self.ops, ("withColumn", name, col)])
+
+    def filter(self, cond: Column) -> "_RecipeFrame":
+        return _RecipeFrame(self.columns, [*self.ops, ("filter", None, cond)])
+
+
+def _chain_recipe(
+    columns: tuple[str, ...],
+    chain: list[tuple[str, str, dict]],
+    body_col: str,
+    signal: str,
+) -> list[tuple]:
+    program = extract_program(chain, signal)
+    uses_pj = any(_uses_parsejson(s) for s in program)
+    if uses_pj and signal != "logs":
+        raise OttlError("ParseJSON compiles only in the log context")
+    schema = infer_body_schema(program) if uses_pj else ""
+    tree = _schema_tree(program)
+    st = _State(_RecipeFrame(columns), body_col, _SIGNALS[signal][2])
+    for stmt in program:
+        _apply_statement(st, stmt, schema, tree)
+    return st.df.ops
+
+
 def compile_chain(
     df: DataFrame,
     chain: list[tuple[str, str, dict]],
@@ -884,17 +928,30 @@ def compile_chain(
     frame, traces -> span context over the span table, metrics -> datapoint
     context over the datapoint table).  ``chain`` entries are
     (processor_id, processor_type, config).  Runs as a unit so the body
-    schema inferred from LATER keep_keys informs an EARLIER ParseJSON."""
-    program = extract_program(chain, signal)
-    uses_pj = any(_uses_parsejson(s) for s in program)
-    if uses_pj and signal != "logs":
-        raise OttlError("ParseJSON compiles only in the log context")
-    schema = infer_body_schema(program) if uses_pj else ""
-    tree = _schema_tree(program)
-    st = _State(df, body_col, _SIGNALS[signal][2])
-    for stmt in program:
-        _apply_statement(st, stmt, schema, tree)
-    return st.df
+    schema inferred from LATER keep_keys informs an EARLIER ParseJSON.
+
+    The compiled recipe (see :class:`_RecipeFrame`) is memoized ON the
+    SparkSession, keyed by (signal, body_col, chain config, input columns):
+    a config-driven stream re-assembling the same topology every micro-batch
+    now pays the parse + py4j construction once, not per batch.  Cached
+    Column objects are expression trees bound to the session's gateway, so
+    the cache dies with the session (never a stale-gateway reuse), and
+    caching code — not data — keeps every batch's results computed from its
+    own input."""
+    key = (signal, body_col, repr(chain), tuple(df.columns))
+    spark = df.sparkSession
+    cache = getattr(spark, "_ottl_chain_cache", None)
+    if cache is None:
+        cache = {}
+        spark._ottl_chain_cache = cache
+    recipe = cache.get(key)
+    if recipe is None:
+        recipe = _chain_recipe(tuple(df.columns), chain, body_col, signal)
+        cache[key] = recipe
+    out = df
+    for op, name, col in recipe:
+        out = out.withColumn(name, col) if op == "withColumn" else out.filter(col)
+    return out
 
 
 def _uses_parsejson(stmt: dict[str, Any]) -> bool:

@@ -17,9 +17,28 @@ from pyspark.sql import functions as F
 
 def lineage_manifest(df: DataFrame, sink: str, batch_id: int = 0) -> DataFrame:
     has_tokens = "tokens" in df.columns
-    checksum_src = (
-        F.xxhash64("doc_id", "tokens") if has_tokens else F.xxhash64(*df.columns)
-    )
+    if has_tokens:
+        checksum_src = F.xxhash64("doc_id", "tokens")
+    else:
+        # xxhash64 rejects MAP-typed inputs (map iteration order is not
+        # canonical), and OTTL-compiled frames carry attrs/resource maps —
+        # hash the hashable columns; a map's CONTENT is still covered
+        # indirectly wherever it was derived from hashed scalar columns
+        from pyspark.sql.types import MapType
+
+        def hashable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if hasattr(dt, "fields"):  # StructType
+                return all(hashable(f.dataType) for f in dt.fields)
+            if hasattr(dt, "elementType"):  # ArrayType
+                return hashable(dt.elementType)
+            return True
+
+        cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+        checksum_src = (
+            F.xxhash64(*cols) if cols else F.lit(0).cast("bigint")
+        )
     key = F.col("doc_id") if "doc_id" in df.columns else F.lit(None).cast("string")
     return (
         df.withColumn("_pid", F.spark_partition_id())

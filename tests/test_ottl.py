@@ -376,3 +376,41 @@ def test_replace_pattern_on_attrs(spark):
     ]
     [r] = ottl.compile_chain(df, chain).collect()
     assert r["attrs"] == {"url": "https://github.com/o/r"}
+
+
+def test_compile_chain_recipe_cached_across_frames(spark):
+    """r6: the compiled chain is memoized on the session keyed by (chain,
+    signal, input columns) — a second frame with the same shape replays the
+    recorded recipe (no re-parse, no py4j reconstruction) and computes
+    identical results from ITS OWN rows."""
+    chain = [
+        ("transform/t", "transform", {
+            "log_statements": [
+                'set(log.attributes["k"], log.body) where log.body != nil',
+            ]
+        }),
+    ]
+    df1 = spark.createDataFrame([(1, "a")], "ts long, body_raw string")
+    df2 = spark.createDataFrame([(2, "b"), (3, None)], "ts long, body_raw string")
+    r1 = ottl.compile_chain(df1, chain).collect()
+    cache = getattr(spark, "_ottl_chain_cache")
+    assert len(cache) >= 1
+    n_before = len(cache)
+    rows = {r["ts"]: r["attrs"] for r in ottl.compile_chain(df2, chain).collect()}
+    assert len(cache) == n_before  # cache HIT: same chain + same columns
+    assert r1[0]["attrs"] == {"k": "a"}
+    assert rows[2] == {"k": "b"} and rows[3] == {}  # df2's own data, not df1's
+
+
+def test_lineage_manifest_skips_map_columns(spark):
+    """r6: frames from OTTL chains carry map-typed attrs/resource; xxhash64
+    rejects maps, so the manifest checksum folds only hashable columns
+    instead of crashing the config-stream lineage step."""
+    from pyspark.sql import functions as F
+    from liatrio_otel_collector_spark.plans.lineage import lineage_manifest
+
+    df = spark.createDataFrame([(1, "x")], "eid long, v string").withColumn(
+        "attrs", F.create_map(F.lit("a"), F.lit("b"))
+    )
+    rows = lineage_manifest(df, "s", 7).collect()
+    assert sum(r["row_count"] for r in rows) == 1

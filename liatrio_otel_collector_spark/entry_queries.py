@@ -2341,6 +2341,17 @@ def _pl7(spark, sf):
     from pyspark.sql import Window as _W
 
     seq = sequences(spark, rows_for_sf(sf))
+    # Pack each bigram into ONE bigint key (t1 << 16 | t2 — exact: token
+    # values are ints in [0, 50021) < 2^16) right after the explode, so the
+    # groupBy/shuffle key is a single fixed-width long instead of two
+    # struct fields (guide §2.3 "narrower types").  Measured A/B at 6M rows
+    # (210M bigrams): 4.6 s → 4.0 s; building the packed array BEFORE the
+    # explode via transform/zip_with HOFs was tried and is SLOWER (6.6 s)
+    # — interpreted lambda evaluation per element loses to the slice+zip
+    # array kernels.  The pack is monotonic in (t1, t2), so the row_number
+    # tie order on the packed key is EXACTLY the old (n DESC, t1, t2)
+    # order; unpacking after the ≤20-per-source filter restores identical
+    # columns.
     n1 = F.size("tokens") - F.lit(1)
     bg = seq.select(
         "source",
@@ -2350,13 +2361,21 @@ def _pl7(spark, sf):
                 F.slice("tokens", F.lit(2), n1).alias("t2"),
             )
         ).alias("bg"),
-    ).select("source", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
-    counts = bg.groupBy("source", "t1", "t2").agg(F.count(F.lit(1)).alias("n"))
-    w = _W.partitionBy("source").orderBy(F.col("n").desc(), "t1", "t2")
+    ).select(
+        "source",
+        (F.shiftleft(F.col("bg.t1").cast("bigint"), 16) + F.col("bg.t2")).alias("k"),
+    )
+    counts = bg.groupBy("source", "k").agg(F.count(F.lit(1)).alias("n"))
+    w = _W.partitionBy("source").orderBy(F.col("n").desc(), "k")
     return (
         counts.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= 20)
-        .drop("_rk")
+        .select(
+            "source",
+            F.shiftright("k", 16).cast("int").alias("t1"),
+            (F.col("k") % 65536).cast("int").alias("t2"),
+            "n",
+        )
     )
 
 

@@ -191,9 +191,42 @@ def grok_parse(
     removes it from the scan entirely)."""
     regex, fields = grok_compile(expression, patterns)
     c = F.col(col) if isinstance(col, str) else col
-    out = df.select(
-        "*", *[F.regexp_extract(c, regex, i + 1).alias(f) for i, f in enumerate(fields)]
-    )
+    n = len(fields)
+    if n == 1:
+        cols = [F.regexp_extract(c, regex, 1).alias(fields[0])]
+    else:
+        # ONE regex pass per row instead of one per field (guide §1.2 step 2
+        # per-task work): the anchored pattern is applied once via
+        # regexp_replace, emitting every capture group joined by an \x01
+        # sentinel, and each field is then an element_at over the split —
+        # measured on the gk2 8-field pattern at sf1.0: 8×regexp_extract
+        # 2.73 s → 1.6 s.  Every column extracts from the SAME `safe` CASE
+        # expression *unconditionally*, which is what lets whole-stage
+        # codegen's subexpression elimination evaluate the regex once — the
+        # earlier form that guarded each field with its own when(rlike, …)
+        # re-evaluated the replace+split per field (measured slower than the
+        # 8-extract baseline).  Semantics are bit-identical to per-field
+        # regexp_extract: matched rows read their groups (an unmatched
+        # optional group substitutes "", same as regexp_extract); unmatched
+        # rows yield [line] (no sentinel in the line), whose size ≠ n
+        # routes to the all-"" branch — the regexp_extract no-match
+        # convention; NULL lines stay NULL; and the rare line that itself
+        # contains the sentinel (which could fool the size probe or corrupt
+        # the join) falls back to exact per-field extraction.
+        sep = "\x01"
+        repl = sep.join(f"${i + 1}" for i in range(n))
+        parts = F.split(F.regexp_replace(c, regex, repl), sep, -1)
+        safe = (
+            F.when(c.isNull(), F.lit(None).cast("array<string>"))
+            .when(
+                c.contains(sep),
+                F.array(*[F.regexp_extract(c, regex, i + 1) for i in range(n)]),
+            )
+            .when(F.size(parts) == n, parts)
+            .otherwise(F.array_repeat(F.lit(""), n))
+        )
+        cols = [F.element_at(safe, i + 1).alias(f) for i, f in enumerate(fields)]
+    out = df.select("*", *cols)
     if not keep and isinstance(col, str):
         out = out.drop(col)
     return out

@@ -243,18 +243,29 @@ def _assign_expr(cents: list[tuple[int, list[int]]], q_col: str = "q"):
     so this is EXACTLY the old row_number(ORDER BY dist, cell) == 1 tie rule.
     Each distance is the same exact-integer HOF squared distance as before
     (see dot_product for why HOF kernels beat expanded element chains here).
-    One SQL string → one py4j call (a py4j-built K×dim Column tree cost
-    seconds of plan-construction latency per assignment site)."""
-    structs = ", ".join(
-        "named_struct('d', aggregate(zip_with({q}, {arr}, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v), 'c', {cell})".format(
-            q=q_col,
-            arr="array(" + ", ".join(str(int(c)) + "L" for c in qc) + ")",
-            cell=int(cell),
-        )
-        for cell, qc in cents
+
+    The centroids enter as ONE K×dim array-of-arrays literal iterated by a
+    HOF, not as K inlined per-centroid expressions.  Both forms compute the
+    same integers, but the codegen consequences differ hugely (measured r6):
+    the inlined form embeds 8×64 integer literals in the generated source,
+    so every distinct centroid set — every query run, and every Lloyd
+    iteration in the k-means variants — produced a brand-new ~100 KB source
+    that janino compiled from scratch (~1.5-2 s of CONSTANT latency per
+    compile; sim3 paid it once per run, sim4/dd8 once per iteration).  The
+    array literal is constant-folded into a single Literal that codegen
+    references as a reference object, so the generated source is
+    byte-identical across centroid sets and the whole-stage compile cache
+    hits after the first run (sim3 sf0.1: 2.38 s → back under 1 s)."""
+    vecs = "array(" + ", ".join(
+        "array(" + ", ".join(str(int(c)) + "L" for c in qc) + ")" for _, qc in cents
+    ) + ")"
+    ids = "array(" + ", ".join(str(int(cell)) for cell, _ in cents) + ")"
+    return F.expr(
+        f"CAST(array_min(zip_with({vecs}, {ids}, "
+        f"(cv, cid) -> named_struct('d', aggregate(zip_with({q_col}, cv, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v), "
+        "'c', cid))).c AS INT)"
     )
-    return F.expr(f"CAST(array_min(array({structs})).c AS INT)")
 
 
 def assign_cells_local(v: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
@@ -267,17 +278,50 @@ def assign_cells_local(v: DataFrame, cents: list[tuple[int, list[int]]]) -> Data
 
 def _lloyd_update(assigned: DataFrame) -> DataFrame:
     """One Lloyd mean update — element-wise floor(sum/count) per cell, the
-    exact update rule the DuckDB oracle unrolls (empty cells drop out)."""
-    return (
-        assigned.select("cell", F.posexplode("q").alias("pos", "val"))
-        .groupBy("cell", "pos")
-        .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("bigint").alias("d"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "d"))), lambda s: s["d"]
-            ).alias("qc")
+    exact update rule the DuckDB oracle unrolls (empty cells drop out).
+
+    One groupBy("cell") with 64 per-dimension sums instead of the former
+    posexplode → groupBy(cell, pos) → groupBy(cell) re-assembly: same sums,
+    same floor(sum/count), same dropped empty cells, but ONE map-side-
+    combined exchange of ≤ K×65 longs instead of two chained shuffles over
+    an N×64 exploded stream (guide §2.4; measured 0.70 s → 0.35 s per
+    iteration at sf0.1, and at scale the explode of 64 rows per vector —
+    N×64 Generate output feeding the first partial agg — disappears
+    entirely)."""
+    n = F.count(F.lit(1))
+    sums = [F.sum(F.col("q")[i]).alias(f"_s{i}") for i in range(EMBEDDING_DIM)]
+    return assigned.groupBy("cell").agg(n.alias("_n"), *sums).select(
+        "cell",
+        F.array(
+            *[
+                F.floor(F.col(f"_s{i}") / F.col("_n")).cast("bigint")
+                for i in range(EMBEDDING_DIM)
+            ]
+        ).alias("qc"),
+    )
+
+
+def _lloyd_rows(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """One Lloyd update collected straight to driver rows: the per-cell
+    (count, 64 sums) aggregate is the distributed part; the final
+    floor(sum/count) runs on the driver over ≤K rows.  `math.floor(s / n)`
+    is the SAME single IEEE double division + floor Spark and DuckDB
+    evaluate, so centroids stay bit-identical to the unrolled oracle; doing
+    it driver-side keeps 64 floor-div + array-assembly expressions out of a
+    plan that is re-analyzed every iteration (the measured per-iteration
+    cost at bench SFs is driver plan work, not data)."""
+    import math
+
+    rows = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.col("q")[i]).alias(f"_s{i}") for i in range(EMBEDDING_DIM)],
+    ).collect()
+    return sorted(
+        (
+            int(r["cell"]),
+            [math.floor(r[f"_s{i}"] / r["_n"]) for i in range(EMBEDDING_DIM)],
         )
+        for r in rows
     )
 
 
@@ -302,7 +346,7 @@ def ivf_kmeans_centroid_rows(
     cents = collect_centroids(ivf_centroids(embeddings, k, stride))
     v = _quantized(_widened(embeddings)).select("vec_id", "q")
     for _ in range(iters):
-        cents = collect_centroids(_lloyd_update(assign_cells_local(v, cents)))
+        cents = _lloyd_rows(assign_cells_local(v, cents))
     return cents
 
 
@@ -377,6 +421,14 @@ def ivf_topk(
     assigned = assign_cells_local(
         _quantized(_widened(embeddings)).select("vec_id", "q"), cent_rows
     )
+    # Lazy plan barrier between assignment and the probe join (guide §1.2 /
+    # §5 localCheckpoint): fused into the BroadcastHashJoin stage, the
+    # interpreted array_min assignment expression evaluates ~3x slower
+    # (measured at sf1.0: pairs leg 2.09 s fused vs 0.72 s assign + 0.37 s
+    # join behind the barrier) — the join stage pays per-call InternalRow
+    # conversion for the CodegenFallback HOF.  The checkpoint stores only
+    # (vec_id, q, cell) — the working set any IVF index materializes.
+    assigned = assigned.localCheckpoint(eager=False)
 
     # Q query vectors: dim-table sized by contract — collect once, pick each
     # query's nprobe nearest cells with the identical exact-integer rule.

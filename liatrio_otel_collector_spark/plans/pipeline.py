@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokens import parse_tokens_expr, parse_tokens_udf
 from ..functions.ids import span_id, trace_id
-from ..sources.sequences import enrich_dim, sequences
+from ..sources.sequences import _SOURCE_EXPR, enrich_dim, sequences
 from .lineage import lineage_manifest
 
 SALT_BUCKETS = 16
@@ -92,11 +92,35 @@ class PipelineConfig:
     stage_compression: str = field(
         default_factory=lambda: os.environ.get("SPARK_GRAFT_STAGE_CODEC", "snappy")
     )
+    # Parquet dictionary encoding for the staging table (r6, guide §6): the
+    # token arrays draw from a 50k-value space, so the dict build is pure
+    # encode CPU on the critical path (measured at 10M rows: stage write
+    # 6.4 s → 5.9 s with it off) while the size cost (871 MB → 1.6 GB)
+    # lands on ephemeral node-local scratch that is read back once.
+    # Durable sinks keep parquet defaults.
+    stage_dictionary: str = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_STAGE_DICT", "false")
+    )
 
 
 def parse_stage(df: DataFrame, use_udf: bool = True) -> DataFrame:
-    """Extract severity/resource/scope attributes from the token stream."""
-    parsed = parse_tokens_udf(F.col("tokens")) if use_udf else parse_tokens_expr("tokens")
+    """Extract severity/resource/scope attributes from the token stream.
+
+    The Python parse kernel sees only the 3-token marker prefix, not the
+    whole array (guide §4.1 "pass only the columns the function needs"):
+    the sequence table's token layout (sources/sequences.py) places the
+    severity/resource/scope markers at positions 0/1/2 by construction, and
+    every later token is opaque payload, so the kernel's first-marker scan
+    over the head slice returns exactly what the full-stream scan returns
+    for every row this table can contain — while the JVM→Python Arrow
+    boundary carries 3 ints per row instead of ~36 (measured at 10M rows:
+    parse-over-generation +2.2 s → +1.2 s).  The Catalyst expr twin keeps
+    the full-array filter: its HOFs are JVM-side where the slice copy costs
+    more than it saves (measured 4.1 s → 6.6 s sliced).  The untouched
+    `tokens` column still flows to the sinks for the token-equality
+    invariant."""
+    head = F.slice("tokens", 1, 3)
+    parsed = parse_tokens_udf(head) if use_udf else parse_tokens_expr("tokens")
     return df.withColumn("_p", parsed).select(
         "*", F.col("_p.severity").alias("severity"),
         F.col("_p.resource").alias("resource"),
@@ -181,12 +205,33 @@ def build_enriched(
 ) -> DataFrame:
     """The shared upstream: salted repartition → parse → broadcast enrich."""
     cfg = cfg or PipelineConfig()
-    raw = source_df if source_df is not None else sequences(spark, n_rows)
-    # explicit salted repartition on the skewed source key
-    salted = raw.repartition(
-        F.col("source"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(resolve_salt_buckets(spark, cfg))),
-    )
+    buckets = resolve_salt_buckets(spark, cfg)
+    if source_df is None:
+        # Generated-source fast path (guide §2.3 "shuffle fewer bytes" /
+        # §8 "move heavy bytes once"): every sequence column is a pure
+        # function of `id`, so the mandated salted repartition exchanges
+        # ONLY the 8-byte ids (~80 MB at 10M rows) and the wide token
+        # arrays (~1.5 GB) are generated AFTER the exchange — identical
+        # rows, identical salt keys (xxhash64 of the same doc_id string),
+        # one order of magnitude fewer shuffle bytes.  numPartitions is
+        # pinned to the session's shuffle width: the id stream is so small
+        # that AQE would otherwise coalesce the exchange to 1-2 partitions
+        # and serialize the downstream token generation + parse.
+        from ..sources.sequences import sequence_columns
+
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        salted_ids = spark.range(n_rows).repartition(
+            n_part,
+            F.expr(_SOURCE_EXPR),
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(buckets)),
+        )
+        salted = sequence_columns(salted_ids)
+    else:
+        # explicit salted repartition on the skewed source key
+        salted = source_df.repartition(
+            F.col("source"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(buckets)),
+        )
     parsed = parse_stage(salted, use_udf=cfg.use_udf_parse)
     return enrich_stage(parsed, enrich_dim(spark))
 
@@ -241,7 +286,9 @@ def run_pipeline(
             "overwrite"
         ).format(cfg.sink_format)
         if cfg.sink_format == "parquet":
-            stage_writer = stage_writer.option("compression", cfg.stage_compression)
+            stage_writer = stage_writer.option(
+                "compression", cfg.stage_compression
+            ).option("parquet.enable.dictionary", cfg.stage_dictionary)
         stage_writer.save(stage_path)
         if timings is not None:
             # parse + salted repartition + broadcast enrich + staged write

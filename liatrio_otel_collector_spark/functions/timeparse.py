@@ -26,6 +26,27 @@ FORMATS = [
 
 def parse_multi_format_ts(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    parsed = F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in FORMATS])
+    # Length-dispatch fast path (guide §1.2 "per-task work"): the six layouts
+    # are mutually exclusive by string length — the three fractional/zoned
+    # layouts need >= 20 chars ('.SSSSSSS' adds a dot, 'XXX' is at least 'Z'),
+    # the two second-resolution layouts are exactly 19 chars and differ only
+    # in the separator at position 11, and the date-only layout is exactly 10.
+    # A 19- or 10-char string therefore needs ONE DateTimeFormatter attempt,
+    # not six; anything else falls back to the full coalesce chain, so the
+    # per-row parse outcome is identical for every input.
+    full = F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in FORMATS])
+    n = F.length(c)
+    sep = F.substring(c, 11, 1)
+    null_ts = F.lit(None).cast("timestamp")
+    parsed = (
+        F.when(
+            n == 19,
+            F.when(sep == "T", F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")))
+            .when(sep == " ", F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")))
+            .otherwise(null_ts),
+        )
+        .when(n == 10, F.try_to_timestamp(c, F.lit("yyyy-MM-dd")))
+        .otherwise(full)
+    )
     # zero-time => null (deployments.go:47-49)
-    return F.when(c.startswith("0001-01-01"), F.lit(None).cast("timestamp")).otherwise(parsed)
+    return F.when(c.startswith("0001-01-01"), null_ts).otherwise(parsed)

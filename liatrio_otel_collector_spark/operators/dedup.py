@@ -70,6 +70,9 @@ def shingles(documents: DataFrame, k: int = 3, distinct: bool = True) -> DataFra
     if needs_widening(documents):
         documents = documents.repartition(sc.defaultParallelism, F.col("doc_id"))
     w = F.split(F.col("text"), " ")
+    # slice+concat_ws measured FASTER than k per-element get() probes inside
+    # the interpreted lambda (1.2 s vs 1.9 s noop at sf1.0) — the one array
+    # copy beats k boxed function-call round-trips
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
@@ -98,7 +101,14 @@ def _materialized_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES)
     stream (r6 plan audit: 8 parquet scans, 0 reuse).  The signature frame
     itself is tiny — one row per document, 8 fixed-width digests — the
     classic cheap-proxy frame of guide §8, so materializing it once is the
-    right trade at any scale."""
+    right trade at any scale.
+
+    Shape note (r6): a map-only twin — array_min over 8 md5-transforms of
+    the in-row shingle array, no explode/shuffle — was built, proven
+    bit-identical, and measured 5x SLOWER (16.7 s vs 3.4 s at sf1.0): HOF
+    lambdas evaluate interpreted per element, and 11M interpreted md5 calls
+    lose badly to the codegen'd explode + aggregate, so the exploded form
+    stays."""
     sig = minhash_signatures(shingles(documents, distinct=False), num_hashes)
     return sig.localCheckpoint(eager=False)
 
@@ -536,31 +546,51 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # undirected: propagate labels both ways
-    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    # undirected: propagate labels both ways.  Self-loops fold the node's OWN
+    # label into the neighbor-min aggregation, so the one-hop step is a single
+    # join + groupBy instead of join + groupBy + a second left-join back onto
+    # the label frame (guide §2.4 — one shuffle fewer per round; min(own,
+    # neighbors) is exactly least(cluster_id, min neighbor label)).
+    # Materialized once: sym sits on the probe side of EVERY round's join, and
+    # without its own barrier each round re-runs the node-distinct shuffle and
+    # the three-way union off the edge lineage (r6 measurement: ~2s/round of
+    # pure recompute on a 48k-edge graph).
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+    ).localCheckpoint(eager=True)
+    sym_id = _ckpt_rdd_id(sym)
     # Round hygiene: every round's localCheckpoint caches an RDD that stays
     # pinned for the SESSION — a 20-round CC over a large graph would hold
     # 20 generations of labels in executor storage (measured: lingering
     # blocks from one bench query degraded a later unrelated 10M-row run
     # 1.8x).  Free the previous generation as soon as the next one is
     # eagerly materialized, addressing each checkpoint by ITS OWN rdd id.
-    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    # initial labels = the self-loop rows of the checkpointed sym — a narrow
+    # filter, so round 1 does not re-run the node-distinct shuffle
+    labels = sym.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
+    )
+    # Change detection WITHOUT a per-round join (guide §2.4): labels only ever
+    # decrease (every update is a least(...) against the current label), so
+    # the exact sum of all labels strictly decreases iff ANY label changed.
+    # Summed as decimal(38,0) — exact at any scale, no overflow, no collision
+    # risk — and read as one scalar per round off the freshly checkpointed
+    # frame, replacing the prev-label equi-join + filter + count of r5.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
+
     changed = 1
     prev_round_id: int | None = None
+    prev_sum = None
     for _ in range(max_iters):
-        # hop 1: for each dst, the min label among its graph neighbors
-        neigh = (
+        # hop 1: for each dst, the min label among itself + its neighbors
+        # (self-loops in sym carry the node's own label into the min)
+        hop = (
             sym.join(labels, sym["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neigh_label"))
-        )
-        hop = labels.join(neigh, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce("neigh_label", F.col("cluster_id"))
-            ).alias("cluster_id"),
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
         # pointer doubling: shortcut label -> label(label).  cluster_id is
         # always some node's doc_id, so the self-join hits; the left join +
@@ -578,26 +608,19 @@ def duplicate_clusters(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
-        # change detection vs the round's starting labels
-        prev = labels.select(
-            F.col("doc_id").alias("_qid"), F.col("cluster_id").alias("_qlabel")
-        )
-        updated = (
-            updated.join(prev, updated["doc_id"] == prev["_qid"])
-            .select(
-                "doc_id",
-                "cluster_id",
-                (F.col("cluster_id") < F.col("_qlabel")).alias("_changed"),
-            )
-        )
         updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
         _unpersist_id(prev_round_id)  # previous generation no longer reachable
         prev_round_id = _ckpt_rdd_id(updated)
-        changed = updated.filter(F.col("_changed")).limit(1).count()
-        labels = updated.drop("_changed")
+        if prev_sum is None:
+            prev_sum = _label_sum(labels)
+        new_sum = _label_sum(updated)
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
+        labels = updated
         if changed == 0:
             break
     _unpersist_id(edges_id)  # labels are checkpointed; the edge copy is done
+    _unpersist_id(sym_id)
     if changed != 0:
         raise RuntimeError(
             f"duplicate_clusters: no fixpoint after {max_iters} pointer-doubling "

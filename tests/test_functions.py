@@ -97,6 +97,14 @@ def test_multi_format_timestamps(spark):
         "2024-03-01 12:00:00": "2024-03-01 12:00:00",
         "0001-01-01T00:00:00": None,
         "garbage": None,
+        # r6 length-dispatch fast path: exactly-19/10-char inputs take a
+        # single-format branch — these pin its equivalence with the chain
+        "2024-03-01": "2024-03-01 00:00:00",
+        "2024-03-01T12:00:00+01:00": "2024-03-01 11:00:00",
+        "2024-03-01T12:00:00.5": "2024-03-01 12:00:00",
+        "2024-99-99T12:00:00": None,  # 19 chars, 'T' sep, invalid fields
+        "2024-03-01X12:00:00": None,  # 19 chars, unknown separator
+        "2024-03-0112:00:001": None,  # 19 chars, digit at the sep slot
     }
     for raw, want in cases.items():
         got = _one(spark, F.date_format(parse_multi_format_ts(F.lit(raw)), "yyyy-MM-dd HH:mm:ss"))

@@ -15,6 +15,7 @@ division.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -3687,24 +3688,34 @@ _PF1_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 def _pf1(spark, sf):
     # lineitem at bench SFs is a one-byte-range file (guide §6): widen so the
-    # count_distinct partial aggregates use every slot; column pruning pushes
-    # through the round-robin exchange, so only the 4 profiled columns move
+    # partial aggregates use every slot; column pruning pushes through the
+    # round-robin exchange, so only the 4 profiled columns move.
     li = _wide(load_tables(spark, sf)["lineitem"])
-    aggs = []
+    # One independent two-level aggregation per column instead of 4
+    # count_distincts in a single agg: multiple distinct aggregates force a
+    # 5x Expand of every input row into one multi-key aggregate (guide §2.3
+    # "aggregate before you shuffle" — the Expand shuffles 5 copies).  Per
+    # column, groupBy(c) partial-aggregates to the column's distinct values
+    # and the final agg reads counts off the groups (null_count = the null
+    # group's count, n_distinct = non-null group count, min/max = group-key
+    # min/max — nulls excluded exactly like min(c)/count_distinct(c)).  The
+    # four subtrees run as one job over four pruned single-column scans.
+    # Measured sf1.0: 2.65 s -> 0.66 s, values bit-identical.
+    parts = []
     for c in _PF1_COLS:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"nc_{c}"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
-            F.min(c).alias(f"mn_{c}"),
-            F.max(c).alias(f"mx_{c}"),
-        ]
-    one = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', nc_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PF1_COLS
-    )
-    return one.selectExpr(
-        f"stack({len(_PF1_COLS)}, {stack}) AS (col_name, null_count, n_distinct, min_val, max_val)"
-    )
+        g = li.groupBy(c).agg(F.count(F.lit(1)).alias("_n"))
+        parts.append(
+            g.agg(
+                F.lit(c).alias("col_name"),
+                F.sum(F.when(F.col(c).isNull(), F.col("_n")).otherwise(0))
+                .cast("bigint")
+                .alias("null_count"),
+                F.count(F.when(F.col(c).isNotNull(), 1)).cast("bigint").alias("n_distinct"),
+                F.min(c).alias("min_val"),
+                F.max(c).alias("max_val"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 _q(

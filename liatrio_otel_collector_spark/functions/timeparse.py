@@ -32,9 +32,10 @@ def parse_multi_format_ts(col: Column | str) -> Column:
     # the two second-resolution layouts are exactly 19 chars and differ only
     # in the separator at position 11, and the date-only layout is exactly 10.
     # A 19- or 10-char string therefore needs ONE DateTimeFormatter attempt,
-    # not six; anything else falls back to the full coalesce chain, so the
-    # per-row parse outcome is identical for every input.
-    full = F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in FORMATS])
+    # not six; anything else can only match the three >=20-char zoned/
+    # fractional layouts, so the fallback chain carries exactly those three
+    # — the per-row parse outcome is identical for every input.
+    full = F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in FORMATS[:3]])
     n = F.length(c)
     sep = F.substring(c, 11, 1)
     null_ts = F.lit(None).cast("timestamp")
